@@ -1,0 +1,80 @@
+"""Benchmark: 3-view refined depth inference, frames/s on one chip.
+
+Measures the flagship end-to-end path at the reference's working point
+(192x256, 64-plane cost volumes, 1 ref + 2 source views): two plane-sweep
+volumes, the folded DepthNet pass, RefineNet fusion, and the depth->normal
+operator — the exact compute of the reference's `eval_refine` inner loop
+(`eval.py:440-455`), compiled as one XLA program.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+vs_baseline: the reference publishes no throughput numbers (SURVEY.md §6);
+its timing hooks ran a V100-class GPU. We anchor the baseline at 10 frames/s
+for the same 3-view refined forward on a V100 (fp32 cuDNN at this
+resolution; conservative versus the per-forward `time.monotonic` hooks the
+reference prints), so the BASELINE.md target of >= 3x V100 means
+vs_baseline >= 3.0.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+V100_BASELINE_FPS = 10.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from cnmnet_tpu.geometry.camera import invert_intrinsics
+    from cnmnet_tpu.kernels import dispatch
+    from cnmnet_tpu.models import CNMModel
+    from __graft_entry__ import _tiny_batch
+
+    platform = jax.devices()[0].platform
+    batch = _tiny_batch(1, height=192, width=256)
+
+    dtype = jnp.bfloat16 if platform != "cpu" else jnp.float32
+    model = CNMModel(num_planes=64, dtype=dtype)
+    images = jnp.asarray(batch["images"])
+    cams = jnp.asarray(batch["cams"])
+    variables = model.init(jax.random.PRNGKey(0), images, cams, train=False)
+
+    @jax.jit
+    def forward(images, cams):
+        out = model.apply(variables, images, cams, train=False)
+        depth = 1.0 / (out.idepth_refined[..., 0] + 1e-8)
+        K_inv = invert_intrinsics(cams[:, 0, 1, :3, :3])
+        normals, _ = dispatch.depth_to_normal(depth, K_inv, 9)
+        return out.idepth_refined, out.prob_map, normals
+
+    # warmup / compile
+    out = forward(images, cams)
+    jax.block_until_ready(out)
+
+    iters = 30 if platform != "cpu" else 3
+    t0 = time.monotonic()
+    for _ in range(iters):
+        out = forward(images, cams)
+    jax.block_until_ready(out)
+    dt = (time.monotonic() - t0) / iters
+
+    fps = 1.0 / dt
+    print(
+        json.dumps(
+            {
+                "metric": "3view_refined_fps_per_chip",
+                "value": round(fps, 3),
+                "unit": "frames/s",
+                "vs_baseline": round(fps / V100_BASELINE_FPS, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,168 @@
+"""7-Scenes cross-dataset evaluation harness.
+
+Implements every protocol of the reference's `eval.py` as one parameterized
+driver (`num_sources` replaces the four near-duplicate sacred commands):
+
+* 2-view  (`eval`,   `eval.py:162-319`): stride 10, source +10, no refiner;
+* 3-view  (`eval_refine`, `:321-520`): stride 3, sources +/-10, refined;
+* 5-view  (`eval_refine_five_views`, `:523-712`): sources +10,-10,+5,-5
+  batched through one DepthNet call, pair-averaged into the refiner;
+* 7-view  (`eval_refine_seven_views`, `:715-993`): +/-10, +/-5, +/-20.
+
+Offsets are ordered so the model's even/odd grouping reproduces the
+reference's pair averaging. Metrics follow `cal_metrics`
+(`eval.py:995-1090`): predictions resized to the native GT resolution,
+clamped to [0.3, 8.0] m, GT masked to the same range, nine metrics averaged
+per frame then over frames.
+
+The whole per-frame compute (cost volumes + DepthNet + RefineNet +
+depth->normal) is one jitted function reused across frames; host work is
+file IO only.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from cnmnet_tpu.data.seven_scenes import SevenScenes
+from cnmnet_tpu.ops import metrics as M
+
+EVAL_PROTOCOLS = {
+    # num_sources: (frame stride, source offsets in reference order)
+    1: dict(stride=10, offsets=(10,)),
+    2: dict(stride=3, offsets=(10, -10)),
+    4: dict(stride=3, offsets=(10, -10, 5, -5)),
+    6: dict(stride=3, offsets=(10, -10, 5, -5, 20, -20)),
+}
+
+
+def aggregate_metrics(per_frame: List[Dict[str, float]]) -> Dict[str, float]:
+    """Mean of each metric over frames (reference averages per-frame values)."""
+    if not per_frame:
+        return {}
+    keys = per_frame[0].keys()
+    return {k: float(np.mean([f[k] for f in per_frame])) for k in keys}
+
+
+def _frame_metrics(pred_depth: np.ndarray, gt_depth: np.ndarray,
+                   min_depth=0.3, max_depth=8.0) -> Dict[str, float]:
+    """cal_metrics parity for one frame: resize pred to GT, clamp, mask."""
+    try:
+        import cv2
+
+        H, W = gt_depth.shape
+        pred = cv2.resize(pred_depth, (W, H), interpolation=cv2.INTER_LINEAR)
+    except ImportError:
+        from PIL import Image
+
+        pred = np.asarray(
+            Image.fromarray(pred_depth).resize(
+                (gt_depth.shape[1], gt_depth.shape[0]), Image.BILINEAR
+            )
+        )
+    pred = np.clip(pred, min_depth, max_depth)
+    mask = M.compute_valid_depth_mask(gt_depth, min_thred=min_depth, max_thred=max_depth)
+    return M.compute_errors(pred[mask], gt_depth[mask])
+
+
+def evaluate_seven_scenes(
+    forward_fn,
+    root_dir: str,
+    num_sources: int = 2,
+    image_height: int = 192,
+    image_width: int = 256,
+    save_dir: Optional[str] = None,
+    max_frames_per_seq: Optional[int] = None,
+    seqs: Optional[list] = None,
+    logger=None,
+) -> Dict[str, float]:
+    """Run a protocol over the 18 test sequences.
+
+    Args:
+      forward_fn: jitted ``(images [1, V, h, w, 3], cams [1, V, 2, 4, 4]) ->
+        idepth [1, h, w, 1]`` — refined when V > 2, single-pair disp1 when
+        V == 2 (build with ``make_eval_forward``).
+      root_dir: 7-Scenes root.
+
+    Returns:
+      dict of the nine aggregate metrics + timing (mean seconds/frame).
+    """
+    proto = EVAL_PROTOCOLS[num_sources]
+    ds = SevenScenes(root_dir, image_height, image_width)
+    per_frame: List[Dict[str, float]] = []
+    total_time, count = 0.0, 0
+    import jax
+
+    for scene, seq in (seqs or ds.test_seqs_list):
+        paths = ds.frame_paths(scene, seq)
+        max_off = max(abs(o) for o in proto["offsets"])
+        done = 0
+        for index in range(0, len(paths) - max_off, 1):
+            if index % proto["stride"] != 0:
+                continue
+            if index - max_off < 0:
+                continue
+            if max_frames_per_seq and done >= max_frames_per_seq:
+                break
+            try:
+                ref_rgb, gt_depth, ref_cam = ds.load_frame(paths[index])
+                views = [(ref_rgb, ref_cam)]
+                for off in proto["offsets"]:
+                    rgb, _, cam = ds.load_frame(
+                        paths[index + off], with_depth=False
+                    )
+                    views.append((rgb, cam))
+            except (ValueError, FileNotFoundError, OSError):
+                continue  # invalid cameras are skipped (`eval.py:594-617`)
+
+            images = np.stack([v[0] for v in views])[None]
+            cams = np.stack([v[1] for v in views])[None]
+
+            t0 = time.monotonic()
+            idepth = forward_fn(images, cams)
+            idepth = jax.block_until_ready(idepth)
+            total_time += time.monotonic() - t0
+            count += 1
+            done += 1
+
+            pred_depth = 1.0 / (np.asarray(idepth)[0, :, :, 0] + 1e-8)
+            per_frame.append(_frame_metrics(pred_depth, gt_depth))
+
+            if save_dir:
+                d = os.path.join(save_dir, scene, seq, "pred_depth")
+                os.makedirs(d, exist_ok=True)
+                np.save(
+                    os.path.join(d, paths[index]["name"] + ".pred_depth.npy"),
+                    pred_depth,
+                )
+        if logger is not None and count:
+            logger.log_scalars(
+                count, aggregate_metrics(per_frame), prefix=f"{scene}/{seq}"
+            )
+
+    result = aggregate_metrics(per_frame)
+    result["seconds_per_frame"] = total_time / max(count, 1)
+    result["frames"] = float(count)
+    return result
+
+
+def make_eval_forward(model, variables):
+    """Build the jitted eval forward for any view count.
+
+    Returns fn(images, cams) -> idepth [1, h, w, 1] (refined if V > 2).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def fn(images, cams):
+        out = model.apply(variables, jnp.asarray(images), jnp.asarray(cams), train=False)
+        if out.idepth_refined is not None:
+            return out.idepth_refined
+        return out.disps[0][:, 0]
+
+    return fn

@@ -1,0 +1,124 @@
+"""Shared conv building blocks (flax.linen, NHWC).
+
+Mirrors the reference's block vocabulary (`depthnet/depthNet_model.py:19-112`):
+``down_conv_layer`` (conv s1 + norm + relu, conv s2 + norm + relu),
+``conv_layer`` (conv s1 + norm + relu), ``up_conv_layer`` (bilinear x2 +
+conv + norm + relu) and the sigmoid ``depth_layer`` head — with TPU-first
+choices:
+
+* NHWC layout, explicit symmetric (k-1)//2 padding (torch-style) so encoder
+  and decoder feature maps align exactly at every skip;
+* normalization is configurable: ``batch`` (reference parity; under ``jit``
+  with a batch-sharded mesh the mean/var reductions become global psums, i.e.
+  sync-BN comes for free from GSPMD) or ``group`` (batch-size independent);
+* compute dtype is configurable (bf16 conv math on TPU, fp32 params/stats);
+* init: He normal fan-out for convs (`depthNet_model.py:163-182`).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+conv_init = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
+
+
+class ConvNormAct(nn.Module):
+    """conv (no bias) + norm [+ relu]."""
+
+    features: int
+    kernel: int
+    stride: int = 1
+    act: bool = True
+    norm: str = "batch"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        p = (self.kernel - 1) // 2
+        x = nn.Conv(
+            self.features,
+            (self.kernel, self.kernel),
+            strides=(self.stride, self.stride),
+            padding=((p, p), (p, p)),
+            use_bias=False,
+            kernel_init=conv_init,
+            dtype=self.dtype,
+        )(x)
+        if self.norm == "batch":
+            # torch BatchNorm2d parity: eps 1e-5, running-stat momentum 0.1
+            # (flax `momentum` is the fraction of the *old* average = 0.9).
+            x = nn.BatchNorm(
+                use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                dtype=self.dtype,
+            )(x)
+        else:
+            x = nn.GroupNorm(num_groups=32, epsilon=1e-5, dtype=self.dtype)(x)
+        if self.act:
+            x = nn.relu(x)
+        return x
+
+
+class DownConvBlock(nn.Module):
+    """Two convs, the second stride-2 (`down_conv_layer`)."""
+
+    features: int
+    kernel: int
+    norm: str = "batch"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        x = ConvNormAct(self.features, self.kernel, 1, norm=self.norm, dtype=self.dtype)(
+            x, train
+        )
+        x = ConvNormAct(self.features, self.kernel, 2, norm=self.norm, dtype=self.dtype)(
+            x, train
+        )
+        return x
+
+
+def upsample2x_bilinear(x: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear x2 with half-pixel centers (torch align_corners=False)."""
+    B, H, W, C = x.shape
+    return jax.image.resize(x, (B, 2 * H, 2 * W, C), method="bilinear")
+
+
+def upsample2x_nearest(x: jnp.ndarray) -> jnp.ndarray:
+    """Exact torch nearest x2: out[i] = in[i // 2]."""
+    return jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+
+
+class UpConvBlock(nn.Module):
+    """Bilinear x2 upsample + conv + norm + relu (`up_conv_layer`)."""
+
+    features: int
+    kernel: int = 3
+    norm: str = "batch"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        x = upsample2x_bilinear(x)
+        return ConvNormAct(self.features, self.kernel, 1, norm=self.norm, dtype=self.dtype)(
+            x, train
+        )
+
+
+class DispHead(nn.Module):
+    """3x3 conv (with bias) + sigmoid, scaled by idepth_scale
+    (`depth_layer` + the `self.idepth_scale *` at the call sites)."""
+
+    scale: float
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Conv(
+            1, (3, 3), padding=((1, 1), (1, 1)), use_bias=True,
+            kernel_init=conv_init, dtype=self.dtype,
+        )(x)
+        return self.scale * nn.sigmoid(x.astype(jnp.float32))

@@ -1,0 +1,150 @@
+"""Depth evaluation metrics.
+
+Numpy implementations with the same definitions as the reference's
+`utils/metric.py:149-362` (masked arrays of valid depths in, scalars out),
+plus a vectorized jnp ``compute_all`` that evaluates every metric in one pass
+for on-device eval loops.
+
+The metric set (`eval.py:1038-1047`): l1, abs-rel, sq-rel, rmse, rmse-log,
+scale-invariant, and the delta < 1.25^n ratio thresholds. The reference's
+ratio_threshold compares |log d1 - log d2| < log(thr), which is the
+symmetric max(d1/d2, d2/d1) < thr.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def compute_valid_depth_mask(d1, d2=None, min_thred=0.3, max_thred=8.0):
+    """Valid = finite and inside (min, max); if d2 given, both must be."""
+    if d2 is None:
+        return (d1 < max_thred) & (d1 > min_thred) & np.isfinite(d1)
+    return (
+        (d1 < max_thred) & (d1 > min_thred) & np.isfinite(d1)
+        & (d2 < max_thred) & (d2 > min_thred) & np.isfinite(d2)
+    )
+
+
+def l1(depth1, depth2):
+    return float(np.mean(np.abs(depth1 - depth2))) if depth1.size else float("nan")
+
+
+def l1_inverse(depth1, depth2):
+    if not depth1.size:
+        return float("nan")
+    return float(np.mean(np.abs(np.reciprocal(depth1) - np.reciprocal(depth2))))
+
+
+def rmse(depth1, depth2):
+    if not depth1.size:
+        return float("nan")
+    return float(np.sqrt(np.mean(np.square(depth1 - depth2))))
+
+
+def rmse_log(depth1, depth2):
+    if not depth1.size:
+        return float("nan")
+    return float(np.sqrt(np.mean(np.square(np.log(depth1) - np.log(depth2)))))
+
+
+def scale_invariant(depth1, depth2):
+    if not depth1.size:
+        return float("nan")
+    log_diff = np.log(depth1) - np.log(depth2)
+    return float(np.sqrt(np.mean(np.square(log_diff)) - np.square(np.mean(log_diff))))
+
+
+def abs_relative(depth_pred, depth_gt):
+    if not depth_pred.size:
+        return float("nan")
+    return float(np.mean(np.abs(depth_pred - depth_gt) / depth_gt))
+
+
+def sq_relative(depth_pred, depth_gt):
+    if not depth_pred.size:
+        return float("nan")
+    return float(np.mean(np.square(depth_pred - depth_gt) / depth_gt))
+
+
+def avg_log10(depth1, depth2):
+    if not depth1.size:
+        return float("nan")
+    return float(np.mean(np.abs(np.log10(depth1) - np.log10(depth2))))
+
+
+def ratio_threshold(depth1, depth2, threshold):
+    assert threshold > 0.0
+    if not depth1.size:
+        return float("nan")
+    log_diff = np.abs(np.log(depth1) - np.log(depth2))
+    return float(np.mean(log_diff < np.log(threshold)))
+
+
+METRIC_NAMES = (
+    "l1",
+    "abs_rel",
+    "sq_rel",
+    "rmse",
+    "rmse_log",
+    "scale_inv",
+    "a1",
+    "a2",
+    "a3",
+)
+
+
+def compute_errors(pred: np.ndarray, gt: np.ndarray) -> Dict[str, float]:
+    """All nine metrics on pre-masked 1-D arrays (pred/gt > 0, finite)."""
+    return {
+        "l1": l1(gt, pred),
+        "abs_rel": abs_relative(pred, gt),
+        "sq_rel": sq_relative(pred, gt),
+        "rmse": rmse(gt, pred),
+        "rmse_log": rmse_log(gt, pred),
+        "scale_inv": scale_invariant(gt, pred),
+        "a1": ratio_threshold(gt, pred, 1.25),
+        "a2": ratio_threshold(gt, pred, 1.25**2),
+        "a3": ratio_threshold(gt, pred, 1.25**3),
+    }
+
+
+def compute_all_jnp(
+    pred: jnp.ndarray,
+    gt: jnp.ndarray,
+    min_depth: float = 0.3,
+    max_depth: float = 8.0,
+) -> Dict[str, jnp.ndarray]:
+    """On-device, mask-weighted version of every metric in one fused pass.
+
+    pred is clamped to [min_depth, max_depth] (the eval protocol's clamp,
+    `eval.py:1031-1032`); gt outside the range is masked out.
+    """
+    pred = jnp.clip(pred, min_depth, max_depth)
+    mask = (gt > min_depth) & (gt < max_depth) & jnp.isfinite(gt)
+    m = mask.astype(pred.dtype)
+    n = jnp.maximum(jnp.sum(m), 1.0)
+
+    diff = pred - gt
+    log_diff = jnp.log(pred) - jnp.log(jnp.where(mask, gt, 1.0))
+    abs_log = jnp.abs(log_diff)
+
+    def mmean(x):
+        return jnp.sum(x * m) / n
+
+    mean_log = mmean(log_diff)
+    return {
+        "l1": mmean(jnp.abs(diff)),
+        "abs_rel": mmean(jnp.abs(diff) / jnp.where(mask, gt, 1.0)),
+        "sq_rel": mmean(jnp.square(diff) / jnp.where(mask, gt, 1.0)),
+        "rmse": jnp.sqrt(mmean(jnp.square(diff))),
+        "rmse_log": jnp.sqrt(mmean(jnp.square(log_diff))),
+        "scale_inv": jnp.sqrt(mmean(jnp.square(log_diff)) - jnp.square(mean_log)),
+        "a1": mmean((abs_log < jnp.log(1.25)).astype(pred.dtype)),
+        "a2": mmean((abs_log < 2 * jnp.log(1.25)).astype(pred.dtype)),
+        "a3": mmean((abs_log < 3 * jnp.log(1.25)).astype(pred.dtype)),
+        "valid_count": jnp.sum(m),
+    }

@@ -1,0 +1,75 @@
+"""Train state: params + BN batch stats + optax optimizer, as one pytree.
+
+The optimizer mirrors the reference recipe (`utils/misc.py:27-42`,
+`configs/config.yaml:16-19`): Adam lr 1e-4 with torch-style L2 weight decay
+1e-5 (decay added to the gradient *before* the Adam moments — what torch
+``Adam(weight_decay=...)`` does, unlike AdamW). sgd/rmsprop/adadelta are kept
+as options for parity with the reference's optimizer factory.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from flax.training import train_state
+
+from cnmnet_tpu.config import Config
+from cnmnet_tpu.models import CNMModel
+
+
+class CNMTrainState(train_state.TrainState):
+    batch_stats: Any = struct.field(default=None)
+    epoch: jnp.ndarray = struct.field(default=None)
+
+
+def make_optimizer(cfg: Config) -> optax.GradientTransformation:
+    s = cfg.solver
+    txs = []
+    if s.grad_clip_norm:
+        txs.append(optax.clip_by_global_norm(s.grad_clip_norm))
+    if s.weight_decay:
+        txs.append(optax.add_decayed_weights(s.weight_decay))
+    lr: Any = s.lr
+    if s.warmup_steps:
+        lr = optax.linear_schedule(0.0, s.lr, s.warmup_steps)
+    method = s.method.lower()
+    if method == "adam":
+        txs.append(optax.adam(lr))
+    elif method == "sgd":
+        txs.append(optax.sgd(lr, momentum=0.9))
+    elif method == "rmsprop":
+        txs.append(optax.rmsprop(lr))
+    elif method == "adadelta":
+        txs.append(optax.adadelta(lr))
+    else:
+        raise ValueError(f"unknown solver method {s.method!r}")
+    return optax.chain(*txs)
+
+
+def build_model(cfg: Config) -> CNMModel:
+    return CNMModel(
+        idepth_scale=cfg.model.idepth_scale,
+        num_planes=cfg.model.num_planes,
+        norm=cfg.model.norm,
+        dtype=jnp.dtype(cfg.model.compute_dtype),
+        cv_backend=cfg.model.cv_backend,
+    )
+
+
+def create_train_state(cfg: Config, rng: jax.Array, sample_batch) -> CNMTrainState:
+    """Initialize params/batch_stats from one (host-local) example batch."""
+    model = build_model(cfg)
+    variables = model.init(
+        rng, sample_batch["images"], sample_batch["cams"], train=False
+    )
+    return CNMTrainState.create(
+        apply_fn=model.apply,
+        params=variables["params"],
+        batch_stats=variables.get("batch_stats", {}),
+        epoch=jnp.zeros((), jnp.int32),
+        tx=make_optimizer(cfg),
+    )
