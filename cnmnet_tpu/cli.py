@@ -1,0 +1,230 @@
+"""Command-line entry: train / eval / bench / prep.
+
+Replaces the reference's sacred commands (`train.py train`, `eval.py
+eval_refine`, ... — `README.md:42-58`) with one typed CLI:
+
+    python -m cnmnet_tpu.cli train [--config cfg.yaml] [k.subkey=value ...]
+    python -m cnmnet_tpu.cli train --synthetic            # no dataset needed
+    python -m cnmnet_tpu.cli eval --views 3 dataset.root_dir=/data/7scenes
+    python -m cnmnet_tpu.cli prep-cameras --scene-dir ... # offline tools
+
+Dotted overrides keep the reference's ergonomics: `dataset.batch_size=5`.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from cnmnet_tpu.config import Config, apply_overrides, load_config, to_dict
+
+
+def _parse(argv):
+    p = argparse.ArgumentParser(prog="cnmnet_tpu")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    t = sub.add_parser("train", help="train the CNM pipeline")
+    t.add_argument("--config", default=None)
+    t.add_argument("--synthetic", action="store_true", help="procedural data")
+    t.add_argument("--wo-normal", action="store_true", help="train_wo_normal recipe")
+    t.add_argument("--max-steps", type=int, default=None)
+    t.add_argument("overrides", nargs="*")
+
+    e = sub.add_parser("eval", help="7-Scenes evaluation")
+    e.add_argument("--config", default=None)
+    e.add_argument("--views", type=int, default=3, choices=[2, 3, 5, 7])
+    e.add_argument("--checkpoint", default=None)
+    e.add_argument("--save-dir", default=None)
+    e.add_argument("--max-frames-per-seq", type=int, default=None)
+    e.add_argument("overrides", nargs="*")
+
+    b = sub.add_parser("bench", help="single-chip throughput benchmark")
+
+    pc = sub.add_parser("prep-cameras", help="ScanNet pose+K -> cameras/*_cam.txt")
+    pc.add_argument("--scene-dir", required=True)
+    pc.add_argument("--out-width", type=int, default=256)
+    pc.add_argument("--out-height", type=int, default=192)
+
+    pl_ = sub.add_parser("prep-list", help="generate a train list")
+    pl_.add_argument("--root-dir", required=True)
+    pl_.add_argument("--out", required=True)
+    pl_.add_argument("--interval", type=int, default=10)
+    pl_.add_argument("--view-num", type=int, default=3)
+    pl_.add_argument("--frame-stride", type=int, default=5)
+
+    return p.parse_args(argv)
+
+
+def _build_config(args) -> Config:
+    cfg = load_config(getattr(args, "config", None))
+    overrides = list(getattr(args, "overrides", []))
+    if overrides:
+        apply_overrides(cfg, overrides)
+    return cfg
+
+
+def cmd_train(args) -> int:
+    cfg = _build_config(args)
+    if args.wo_normal:
+        cfg.train.use_normal_loss = False
+    if args.synthetic:
+        cfg.dataset.synthetic = True
+
+    import jax
+
+    from cnmnet_tpu.obs.logger import MetricLogger
+    from cnmnet_tpu.parallel.mesh import make_mesh
+    from cnmnet_tpu.train.checkpoint import CheckpointManager
+    from cnmnet_tpu.train.loop import train_loop
+
+    if cfg.parallel.coordinator_address:
+        jax.distributed.initialize(
+            coordinator_address=cfg.parallel.coordinator_address,
+            num_processes=cfg.parallel.num_processes,
+            process_id=cfg.parallel.process_id,
+        )
+
+    mesh = make_mesh(data=cfg.parallel.data_axis, tile=cfg.parallel.tile_axis)
+    logger = MetricLogger(cfg.train.log_dir, config=to_dict(cfg))
+    checkpointer = CheckpointManager(
+        cfg.train.checkpoint_dir, max_to_keep=cfg.train.checkpoints_per_epoch
+    )
+
+    if cfg.dataset.synthetic:
+        from cnmnet_tpu.data.synthetic import SyntheticScenes
+
+        ds = SyntheticScenes(
+            num_samples=cfg.dataset.synthetic_size,
+            height=cfg.dataset.image_height,
+            width=cfg.dataset.image_width,
+            view_num=cfg.dataset.view_num,
+            seed=cfg.train.seed,
+        )
+
+        def data_iter():
+            return ds.batches(cfg.dataset.batch_size, epochs=1)
+
+    else:
+        from cnmnet_tpu.data.pipeline import PrefetchLoader
+        from cnmnet_tpu.data.scannet import ScanNetDataset
+
+        ds = ScanNetDataset(
+            list_filepath=cfg.dataset.list_filepath,
+            root_dir=cfg.dataset.root_dir,
+            view_num=cfg.dataset.view_num,
+            interval=cfg.dataset.interval,
+            depth_scale=cfg.dataset.depth_scale,
+            image_height=cfg.dataset.image_height,
+            image_width=cfg.dataset.image_width,
+            max_planes=cfg.dataset.max_planes,
+        )
+        loader = PrefetchLoader(
+            ds,
+            batch_size=cfg.dataset.batch_size,
+            num_workers=cfg.dataset.num_workers,
+            seed=cfg.train.seed,
+        )
+
+        def data_iter():
+            return iter(loader)
+
+    state = train_loop(
+        cfg,
+        data_iter,
+        mesh=mesh,
+        logger=logger,
+        checkpointer=checkpointer,
+        max_steps=args.max_steps,
+    )
+    print(f"done: step {int(state.step)}")
+    return 0
+
+
+def cmd_eval(args) -> int:
+    cfg = _build_config(args)
+    import jax
+
+    from cnmnet_tpu.evals.seven_scenes_eval import (
+        evaluate_seven_scenes,
+        make_eval_forward,
+    )
+    from cnmnet_tpu.train.checkpoint import CheckpointManager
+    from cnmnet_tpu.train.state import build_model, create_train_state
+    from cnmnet_tpu.data.synthetic import SyntheticScenes
+    from cnmnet_tpu.data.pipeline import collate, normalize_images
+
+    model = build_model(cfg)
+    num_sources = {2: 1, 3: 2, 5: 4, 7: 6}[args.views]
+
+    # initialize params (shape-only batch), then restore the checkpoint
+    ds = SyntheticScenes(
+        num_samples=1,
+        height=cfg.dataset.image_height,
+        width=cfg.dataset.image_width,
+        view_num=1 + num_sources,
+    )
+    batch = collate([ds[0]])
+    batch["images"] = normalize_images(batch["images"])
+    state = create_train_state(cfg, jax.random.PRNGKey(0), batch)
+    if args.checkpoint:
+        mgr = CheckpointManager(cfg.train.checkpoint_dir)
+        state = mgr.restore(args.checkpoint, state)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+    forward = make_eval_forward(model, variables)
+    result = evaluate_seven_scenes(
+        forward,
+        cfg.dataset.root_dir,
+        num_sources=num_sources,
+        image_height=cfg.dataset.image_height,
+        image_width=cfg.dataset.image_width,
+        save_dir=args.save_dir,
+        max_frames_per_seq=args.max_frames_per_seq,
+    )
+    for k, v in result.items():
+        print(f"{k}: {v:.4f}")
+    return 0
+
+
+def cmd_bench(_args) -> int:
+    import bench
+
+    bench.main()
+    return 0
+
+
+def cmd_prep_cameras(args) -> int:
+    from cnmnet_tpu.data.prep import make_camera_files
+
+    n = make_camera_files(args.scene_dir, args.out_width, args.out_height)
+    print(f"wrote {n} camera files")
+    return 0
+
+
+def cmd_prep_list(args) -> int:
+    from cnmnet_tpu.data.prep import make_train_list
+
+    n = make_train_list(
+        args.root_dir,
+        args.out,
+        interval=args.interval,
+        view_num=args.view_num,
+        frame_stride=args.frame_stride,
+    )
+    print(f"wrote {n} samples to {args.out}")
+    return 0
+
+
+def main(argv=None) -> int:
+    args = _parse(argv if argv is not None else sys.argv[1:])
+    return {
+        "train": cmd_train,
+        "eval": cmd_eval,
+        "bench": cmd_bench,
+        "prep-cameras": cmd_prep_cameras,
+        "prep-list": cmd_prep_list,
+    }[args.command](args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

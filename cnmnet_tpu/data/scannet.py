@@ -63,9 +63,20 @@ class ScanNetDataset:
         max_planes: int = 20,
         load_planes: bool = True,
         normal_source: str = "lg_normal",  # or "normal_color" (png /255 variant)
+        use_native: bool = True,
     ):
         if cv2 is None:
             raise RuntimeError("ScanNetDataset requires cv2")
+        # C++ decode/resize/normalize path (GIL-free); cv2 fallback otherwise.
+        self._native = None
+        if use_native:
+            try:
+                from cnmnet_tpu.data import native as _native_mod
+
+                if _native_mod.available():
+                    self._native = _native_mod
+            except Exception:
+                self._native = None
         self.root_dir = root_dir
         self.view_num = view_num
         self.interval = interval
@@ -187,16 +198,31 @@ class ScanNetDataset:
         sx, sy = self.w / ow, self.h / oh
 
         for vi, image_id in enumerate(view_ids):
-            rgb = self._load_rgb(scene, image_id) if vi else ref_rgb
-            rgbs.append(_resize(rgb, self.w, self.h, nearest=False))
+            if self._native is not None:
+                rgbs.append(
+                    self._native.load_rgb_normalized(
+                        self._path(scene, "rgb", image_id + ".jpg"), self.w, self.h
+                    )
+                )
+            else:
+                rgb = self._load_rgb(scene, image_id) if vi else ref_rgb
+                rgbs.append(_resize(rgb, self.w, self.h, nearest=False))
             cams.append(scale_cam_array(self._load_cam(scene, image_id), sx, sy))
             # depth for every view: the warped-depth loss needs source GT
             # depth (`train.py:287-293`) even though the reference's shipped
             # loader only returned the reference depth.
             try:
-                d = self._load_depth(scene, image_id)
-                depths.append(_resize(d, self.w, self.h, nearest=True))
-            except FileNotFoundError:
+                if self._native is not None:
+                    depths.append(
+                        self._native.load_depth_meters(
+                            self._path(scene, "depth", image_id + ".png"),
+                            self.w, self.h, 0.1, self.depth_scale,
+                        )
+                    )
+                else:
+                    d = self._load_depth(scene, image_id)
+                    depths.append(_resize(d, self.w, self.h, nearest=True))
+            except (FileNotFoundError, IOError):
                 depths.append(np.zeros((self.h, self.w), np.float32))
 
         normal = self._load_normal(scene, ref_id)
@@ -206,8 +232,12 @@ class ScanNetDataset:
         disparity = np.reciprocal(depth_ref + 1e-4)
         disparity[(disparity < 0.02) | (disparity > 3.0)] = 0.0
 
+        # the native loader normalizes during resize; cv2 path normalizes here
+        images = np.stack(rgbs)
+        if self._native is None:
+            images = normalize_images(images)
         sample = {
-            "images": normalize_images(np.stack(rgbs)),
+            "images": images.astype(np.float32),
             "depths": np.stack(depths).astype(np.float32),
             "cams": np.stack(cams).astype(np.float32),
             "normals": normal.astype(np.float32),

@@ -74,6 +74,47 @@ def bilinear_sample(image: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray) -> jnp.n
     return out.reshape(out_shape + (C,))
 
 
+def bilinear_sample_dense(
+    image: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray
+) -> jnp.ndarray:
+    """Exact bilinear sampling as two dense hat-weight matmuls (no gather).
+
+    The bilinear kernel is the hat function ``max(0, 1 - |p - t|)``, which is
+    nonzero for exactly the two integer taps around ``p`` — so
+    ``out[q] = sum_y sum_x hat(y_q - y) hat(x_q - x) img[y, x]`` *is* the
+    bilinear sample, with taps outside the image contributing zero (zeros
+    padding). Expressed as ``[Q, H] @ [H, W*C]`` then a per-row dot, it runs
+    on the MXU and is differentiable in the coordinates — XLA-TPU compiles
+    this in seconds, whereas the equivalent scatter/gather formulation
+    (``bilinear_sample``) takes minutes and executes serially on TPU.
+
+    Cost is dense in H (Q*H*W*C MACs): right for one warp per step (the
+    cross-view depth consistency loss); the 64-plane cost volume uses the
+    Pallas kernel instead.
+
+    Args / returns: same contract as :func:`bilinear_sample`.
+    """
+    H, W, C = image.shape
+    out_shape = x.shape
+    xq = x.reshape(-1)
+    yq = y.reshape(-1)
+    iy = jnp.arange(H, dtype=image.dtype)
+    ix = jnp.arange(W, dtype=image.dtype)
+    wy = jnp.maximum(0.0, 1.0 - jnp.abs(yq[:, None] - iy[None, :]))  # [Q, H]
+    wx = jnp.maximum(0.0, 1.0 - jnp.abs(xq[:, None] - ix[None, :]))  # [Q, W]
+    tmp = jnp.einsum("qh,hwc->qwc", wy, image, precision=_F32)
+    out = jnp.einsum("qw,qwc->qc", wx, tmp, precision=_F32)
+    return out.reshape(out_shape + (C,))
+
+
+def adaptive_bilinear_sample(image, x, y):
+    """Pick the fast formulation for the current backend: dense-hat matmuls
+    on TPU, flat gather elsewhere."""
+    if jax.default_backend() in ("tpu", "axon"):
+        return bilinear_sample_dense(image, x, y)
+    return bilinear_sample(image, x, y)
+
+
 def pixel2cam(depth: jnp.ndarray, intrinsics_inv: jnp.ndarray) -> jnp.ndarray:
     """Backproject a depth map to camera-frame 3D points.
 
@@ -149,5 +190,5 @@ def inverse_warp(
     points = pixel2cam(depth, intrinsics_inv)  # [B, H, W, 3]
     P = jnp.einsum("bij,bjk->bik", intrinsics, pose, precision=_F32)  # [B, 3, 4]
     x, y, z = cam2pixel(points, P[:, :, :3], P[:, :, 3])
-    warped = jax.vmap(bilinear_sample)(feat, x, y)
+    warped = jax.vmap(adaptive_bilinear_sample)(feat, x, y)
     return warped, z

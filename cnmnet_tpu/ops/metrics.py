@@ -55,7 +55,9 @@ def scale_invariant(depth1, depth2):
     if not depth1.size:
         return float("nan")
     log_diff = np.log(depth1) - np.log(depth2)
-    return float(np.sqrt(np.mean(np.square(log_diff)) - np.square(np.mean(log_diff))))
+    # clamp: the variance form cancels catastrophically for constant ratios
+    var = max(np.mean(np.square(log_diff)) - np.square(np.mean(log_diff)), 0.0)
+    return float(np.sqrt(var))
 
 
 def abs_relative(depth_pred, depth_gt):
@@ -142,7 +144,7 @@ def compute_all_jnp(
         "sq_rel": mmean(jnp.square(diff) / jnp.where(mask, gt, 1.0)),
         "rmse": jnp.sqrt(mmean(jnp.square(diff))),
         "rmse_log": jnp.sqrt(mmean(jnp.square(log_diff))),
-        "scale_inv": jnp.sqrt(mmean(jnp.square(log_diff)) - jnp.square(mean_log)),
+        "scale_inv": jnp.sqrt(jnp.maximum(mmean(jnp.square(log_diff)) - jnp.square(mean_log), 0.0)),
         "a1": mmean((abs_log < jnp.log(1.25)).astype(pred.dtype)),
         "a2": mmean((abs_log < 2 * jnp.log(1.25)).astype(pred.dtype)),
         "a3": mmean((abs_log < 3 * jnp.log(1.25)).astype(pred.dtype)),

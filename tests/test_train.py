@@ -1,0 +1,122 @@
+"""End-to-end training-step tests (tiny shapes, CPU mesh).
+
+These are the SURVEY.md §4 "single-chip integration" tier: the full jitted
+step (cost volumes + DepthNet + RefineNet + 12-term loss + Adam) must run,
+produce finite decreasing losses, and round-trip through orbax checkpoints.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from cnmnet_tpu.config import Config
+from cnmnet_tpu.train.loop import make_train_step
+from cnmnet_tpu.train.state import create_train_state
+
+
+H, W = 32, 64
+
+
+@pytest.fixture(scope="module")
+def tiny_cfg():
+    cfg = Config()
+    cfg.model.num_planes = 8
+    cfg.model.k_size = 5
+    cfg.dataset.batch_size = 2
+    return cfg
+
+
+@pytest.fixture(scope="module")
+def tiny_batch():
+    from cnmnet_tpu.data.pipeline import collate, normalize_images
+    from cnmnet_tpu.data.synthetic import SyntheticScenes
+
+    ds = SyntheticScenes(num_samples=2, height=H, width=W, view_num=3)
+    batch = collate([ds[0], ds[1]])
+    batch["images"] = normalize_images(batch["images"])
+    batch.pop("index")
+    return {k: jnp.asarray(v) for k, v in batch.items()}
+
+
+class TestTrainStep:
+    def test_loss_decreases_and_finite(self, tiny_cfg, tiny_batch):
+        state = create_train_state(tiny_cfg, jax.random.PRNGKey(0), tiny_batch)
+        step = make_train_step(tiny_cfg)
+        losses = []
+        for _ in range(6):
+            state, metrics = step(state, tiny_batch)
+            losses.append(float(metrics["loss"]))
+            assert np.isfinite(losses[-1])
+            assert np.isfinite(float(metrics["grad_norm"]))
+        assert losses[-1] < losses[0], losses
+
+    def test_wo_normal_recipe_curriculum(self, tiny_cfg, tiny_batch):
+        import dataclasses
+
+        cfg = Config()
+        cfg.model.num_planes = 8
+        cfg.model.k_size = 5
+        cfg.train.use_normal_loss = False
+        cfg.train.curriculum_epochs = 5
+        state = create_train_state(cfg, jax.random.PRNGKey(0), tiny_batch)
+        step = make_train_step(cfg)
+
+        # epoch 0: disparity-only
+        state0 = state.replace(epoch=jnp.asarray(0, jnp.int32))
+        _, m0 = step(state0, tiny_batch)
+        # epoch 6: full
+        state6 = create_train_state(cfg, jax.random.PRNGKey(0), tiny_batch)
+        state6 = state6.replace(epoch=jnp.asarray(6, jnp.int32))
+        _, m6 = step(state6, tiny_batch)
+        # same params; the gated loss must be strictly larger after curriculum
+        assert float(m6["loss"]) > float(m0["loss"])
+        # normal terms absent from the wo_normal recipe
+        assert "loss_normal_depth" not in m0
+
+    def test_batch_stats_update(self, tiny_cfg, tiny_batch):
+        state = create_train_state(tiny_cfg, jax.random.PRNGKey(0), tiny_batch)
+        step = make_train_step(tiny_cfg)
+        before = jax.tree_util.tree_leaves(state.batch_stats)[0].copy()
+        state, _ = step(state, tiny_batch)
+        after = jax.tree_util.tree_leaves(state.batch_stats)[0]
+        assert not np.allclose(np.asarray(before), np.asarray(after))
+
+
+class TestCheckpoint:
+    def test_roundtrip(self, tiny_cfg, tiny_batch, tmp_path):
+        from cnmnet_tpu.train.checkpoint import CheckpointManager
+
+        state = create_train_state(tiny_cfg, jax.random.PRNGKey(0), tiny_batch)
+        step = make_train_step(tiny_cfg)
+        state, _ = step(state, tiny_batch)
+
+        mgr = CheckpointManager(str(tmp_path / "ckpt"))
+        saved_step = mgr.save(state)
+        mgr.wait()
+        assert mgr.latest_step() == saved_step
+
+        template = create_train_state(tiny_cfg, jax.random.PRNGKey(1), tiny_batch)
+        restored = mgr.restore("latest", template)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(state.params),
+            jax.tree_util.tree_leaves(restored.params),
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        assert int(restored.step) == int(state.step)
+
+    def test_restore_without_optimizer(self, tiny_cfg, tiny_batch, tmp_path):
+        """The reference deliberately skips optimizer restore (`train.py:103`)."""
+        from cnmnet_tpu.train.checkpoint import CheckpointManager
+
+        state = create_train_state(tiny_cfg, jax.random.PRNGKey(0), tiny_batch)
+        step = make_train_step(tiny_cfg)
+        state, _ = step(state, tiny_batch)
+        mgr = CheckpointManager(str(tmp_path / "ckpt2"))
+        mgr.save(state)
+        mgr.wait()
+        template = create_train_state(tiny_cfg, jax.random.PRNGKey(1), tiny_batch)
+        restored = mgr.restore("latest", template, with_optimizer=False)
+        # adam mu must be zeros again
+        mu = jax.tree_util.tree_leaves(restored.opt_state)[0]
+        assert float(jnp.max(jnp.abs(mu))) == 0.0
