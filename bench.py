@@ -28,6 +28,10 @@ V100_BASELINE_FPS = 10.0
 
 def main():
     import jax
+
+    from cnmnet_tpu.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     import jax.numpy as jnp
 
     from cnmnet_tpu.geometry.camera import invert_intrinsics

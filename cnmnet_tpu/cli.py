@@ -84,7 +84,23 @@ def cmd_train(args) -> int:
             process_id=cfg.parallel.process_id,
         )
 
-    mesh = make_mesh(data=cfg.parallel.data_axis, tile=cfg.parallel.tile_axis)
+    # The data axis cannot exceed what the global batch divides into; shrink
+    # (with a visible note) rather than erroring on small smoke runs.
+    import math
+
+    n_dev = len(jax.devices())
+    tile = cfg.parallel.tile_axis
+    data = cfg.parallel.data_axis if cfg.parallel.data_axis != -1 else n_dev // tile
+    usable = math.gcd(cfg.dataset.batch_size, data)
+    if usable != data:
+        print(
+            f"note: batch_size={cfg.dataset.batch_size} not divisible by "
+            f"data axis {data}; using a {usable}-way data mesh"
+        )
+        data = usable
+    mesh = make_mesh(
+        data=data, tile=tile, devices=jax.devices()[: data * tile]
+    )
     logger = MetricLogger(cfg.train.log_dir, config=to_dict(cfg))
     checkpointer = CheckpointManager(
         cfg.train.checkpoint_dir, max_to_keep=cfg.train.checkpoints_per_epoch

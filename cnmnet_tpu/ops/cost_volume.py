@@ -85,8 +85,12 @@ def plane_sweep_cost_volume(
       ``[H, W, P]`` cost volume: per plane, sum over channels of
       ``|warp(src) - ref|``; out-of-frustum samples are zero so their cost is
       ``sum |ref|`` (zero-padding semantics of the reference).
+
+    ``src_image`` may have different spatial dims than ``ref_image`` (the
+    spatially-tiled path passes local ref rows against the full source).
     """
     H, W, C = ref_image.shape
+    Hs, Ws = src_image.shape[:2]
     P = idepths.shape[0]
     x, y = _sweep_coords(KRKiUV, KT, idepths, H, W)
 
@@ -97,13 +101,13 @@ def plane_sweep_cost_volume(
     fy = (y - y0).astype(src_image.dtype)
     x0i = x0.astype(jnp.int32)
     y0i = y0.astype(jnp.int32)
-    flat = src_image.reshape(H * W, C)
+    flat = src_image.reshape(Hs * Ws, C)
 
     def tap(xi, yi, w):
-        inside = (xi >= 0) & (xi <= W - 1) & (yi >= 0) & (yi <= H - 1)
-        xi_c = jnp.clip(xi, 0, W - 1)
-        yi_c = jnp.clip(yi, 0, H - 1)
-        vals = jnp.take(flat, (yi_c * W + xi_c).reshape(-1), axis=0)
+        inside = (xi >= 0) & (xi <= Ws - 1) & (yi >= 0) & (yi <= Hs - 1)
+        xi_c = jnp.clip(xi, 0, Ws - 1)
+        yi_c = jnp.clip(yi, 0, Hs - 1)
+        vals = jnp.take(flat, (yi_c * Ws + xi_c).reshape(-1), axis=0)
         vals = vals.reshape(P, H, W, C)
         return vals * (w * inside.astype(src_image.dtype))[..., None]
 

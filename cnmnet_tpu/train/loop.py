@@ -57,36 +57,83 @@ def make_train_step(cfg: Config, mesh: Optional[Mesh] = None) -> Callable:
                 mutable=["batch_stats"],
             )
             loss, metrics = compute_losses(out, batch, state.epoch, w)
-            return loss, (metrics, mutated["batch_stats"])
+            # image-sized tensors for the periodic image/histogram
+            # summaries (`train.py:357-396`); free — already computed.
+            viz = {
+                "pred_idepth_01": out.disps[0][:, 0],
+                "pred_idepth_refined": out.idepth_refined,
+                "prob_map": out.prob_map,
+            }
+            return loss, (metrics, mutated["batch_stats"], viz)
 
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
-        (loss, (metrics, new_stats)), grads = grad_fn(state.params)
+        (loss, (metrics, new_stats, viz)), grads = grad_fn(state.params)
         state = state.apply_gradients(grads=grads, batch_stats=new_stats)
         metrics["grad_norm"] = jnp.sqrt(
             sum(jnp.sum(jnp.square(g)) for g in jax.tree_util.tree_leaves(grads))
         )
+        metrics["viz"] = viz
         return state, metrics
 
     if mesh is not None:
         repl = NamedSharding(mesh, P())
-        data = NamedSharding(mesh, P("data"))
+        jitted = jax.jit(step, donate_argnums=(0,))
+        first_call = [True]
 
-        def batch_shardings(batch):
-            return {
+        def sharded_step(state, batch):
+            shardings = {
                 k: NamedSharding(mesh, P(*(("data",) + (None,) * (v.ndim - 1))))
                 for k, v in batch.items()
             }
-
-        jitted = jax.jit(step, donate_argnums=(0,))
-
-        def sharded_step(state, batch):
-            batch = jax.device_put(batch, batch_shardings(batch))
-            state = jax.device_put(state, repl) if state.step == 0 else state
-            del data
+            batch = jax.device_put(batch, shardings)
+            if first_call[0]:
+                state = jax.device_put(state, repl)
+                first_call[0] = False
             return jitted(state, batch)
 
         return sharded_step
     return jax.jit(step, donate_argnums=(0,))
+
+
+def _log_images(logger, step: int, batch, viz):
+    """Periodic image + histogram summaries (first sample of the batch);
+    parity with the reference's TB tier (`train.py:357-396`)."""
+    import numpy as np
+
+    from cnmnet_tpu.data.pipeline import denormalize_images
+    from cnmnet_tpu.obs.colorize import colorize_idepth, colorize_prob, normal_to_color
+
+    try:
+        rgb = denormalize_images(np.asarray(batch["images"][0, 0]))
+        logger.log_image(step, "rgb", np.clip(rgb, 0, 1))
+        logger.log_image(
+            step, "gt_idepth", colorize_idepth(np.asarray(batch["disparity"][0]))
+        )
+        logger.log_image(
+            step, "gt_normal", normal_to_color(np.asarray(batch["normals"][0]))
+        )
+        logger.log_image(
+            step,
+            "pred_idepth_01",
+            colorize_idepth(np.asarray(viz["pred_idepth_01"][0, ..., 0])),
+        )
+        if viz.get("pred_idepth_refined") is not None:
+            logger.log_image(
+                step,
+                "pred_idepth_refined",
+                colorize_idepth(np.asarray(viz["pred_idepth_refined"][0, ..., 0])),
+            )
+            logger.log_image(
+                step,
+                "prob_map",
+                colorize_prob(np.asarray(viz["prob_map"][0, ..., 0])),
+            )
+            logger.log_histogram(step, "prob_map", np.asarray(viz["prob_map"]))
+        logger.log_histogram(
+            step, "pred_idepth_01", np.asarray(viz["pred_idepth_01"])
+        )
+    except Exception as e:  # logging must never kill training
+        print(f"image logging failed: {e}")
 
 
 def train_loop(
@@ -119,12 +166,15 @@ def train_loop(
                 break
             state, metrics = step_fn(state, batch)
             global_step += 1
+            viz = metrics.pop("viz", None)
             if max_steps and global_step >= max_steps:
                 return state
             if logger is not None and it % cfg.train.print_interval == 0:
-                metrics = {k: float(v) for k, v in metrics.items()}
-                metrics["step_time"] = (time.monotonic() - tic) / (it + 1)
-                logger.log_scalars(global_step, metrics, prefix=f"epoch {epoch}")
+                scalars = {k: float(v) for k, v in metrics.items()}
+                scalars["step_time"] = (time.monotonic() - tic) / (it + 1)
+                logger.log_scalars(global_step, scalars, prefix=f"epoch {epoch}")
+                if viz is not None and it % (cfg.train.print_interval * 10) == 0:
+                    _log_images(logger, global_step, batch, viz)
         if checkpointer is not None:
             checkpointer.save(state, step=global_step)
     return state

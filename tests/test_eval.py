@@ -1,0 +1,118 @@
+"""7-Scenes eval harness tests on a mock dataset directory."""
+
+import os
+
+import numpy as np
+import pytest
+
+from cnmnet_tpu.evals.seven_scenes_eval import (
+    EVAL_PROTOCOLS,
+    aggregate_metrics,
+    evaluate_seven_scenes,
+)
+
+
+@pytest.fixture(scope="module")
+def mock_seven_scenes(tmp_path_factory):
+    """A tiny fake 7-Scenes tree: one seq with 40 frames of a textured
+    fronto-parallel scene at known depth."""
+    try:
+        import cv2
+    except ImportError:
+        pytest.skip("cv2 required")
+    root = tmp_path_factory.mktemp("seven")
+    seq_dir = root / "chess" / "seq-03"
+    seq_dir.mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    H, W = 480, 640
+    img = (rng.random((H, W, 3)) * 255).astype(np.uint8)
+    depth_m = 2.5
+    for i in range(40):
+        name = f"frame-{i:06d}"
+        cv2.imwrite(str(seq_dir / f"{name}.color.png"), img)
+        d = np.full((H, W), int(depth_m * 1000), np.uint16)
+        d[:10, :10] = 65535  # invalid marker region
+        cv2.imwrite(str(seq_dir / f"{name}.depth.png"), d)
+        pose = np.eye(4)
+        pose[0, 3] = 0.01 * i  # slowly translating camera
+        np.savetxt(str(seq_dir / f"{name}.pose.txt"), pose, delimiter="\t ")
+    return str(root)
+
+
+class TestProtocols:
+    def test_protocol_table(self):
+        assert EVAL_PROTOCOLS[1]["stride"] == 10
+        assert EVAL_PROTOCOLS[2]["offsets"] == (10, -10)
+        assert EVAL_PROTOCOLS[4]["offsets"] == (10, -10, 5, -5)
+        assert EVAL_PROTOCOLS[6]["offsets"] == (10, -10, 5, -5, 20, -20)
+
+    def test_aggregate(self):
+        frames = [{"l1": 1.0, "rmse": 2.0}, {"l1": 3.0, "rmse": 4.0}]
+        agg = aggregate_metrics(frames)
+        assert agg["l1"] == 2.0 and agg["rmse"] == 3.0
+
+
+class TestHarness:
+    def test_oracle_forward_perfect_metrics(self, mock_seven_scenes):
+        """Feed a forward that returns the true inverse depth: all metrics
+        must be ~perfect — validates the loader, protocol and metric path."""
+
+        def oracle(images, cams):
+            import jax.numpy as jnp
+
+            B, V, h, w, _ = images.shape
+            return jnp.full((B, h, w, 1), 1.0 / 2.5)
+
+        result = evaluate_seven_scenes(
+            oracle,
+            mock_seven_scenes,
+            num_sources=2,
+            image_height=48,
+            image_width=64,
+            max_frames_per_seq=3,
+            seqs=[("chess", "seq-03")],
+        )
+        assert result["frames"] == 3
+        assert result["abs_rel"] < 1e-3
+        assert result["a1"] == pytest.approx(1.0)
+        assert result["rmse"] < 0.01
+
+    def test_biased_forward_measares_error(self, mock_seven_scenes):
+        def biased(images, cams):
+            import jax.numpy as jnp
+
+            B, V, h, w, _ = images.shape
+            return jnp.full((B, h, w, 1), 1.0 / 3.0)  # 20% off
+
+        result = evaluate_seven_scenes(
+            biased,
+            mock_seven_scenes,
+            num_sources=2,
+            image_height=48,
+            image_width=64,
+            max_frames_per_seq=2,
+            seqs=[("chess", "seq-03")],
+        )
+        assert result["abs_rel"] == pytest.approx(0.2, abs=0.01)
+
+    def test_save_dir(self, mock_seven_scenes, tmp_path):
+        def oracle(images, cams):
+            import jax.numpy as jnp
+
+            B, V, h, w, _ = images.shape
+            return jnp.full((B, h, w, 1), 0.4)
+
+        evaluate_seven_scenes(
+            oracle,
+            mock_seven_scenes,
+            num_sources=2,
+            image_height=48,
+            image_width=64,
+            max_frames_per_seq=1,
+            seqs=[("chess", "seq-03")],
+            save_dir=str(tmp_path),
+        )
+        saved = list((tmp_path / "chess" / "seq-03" / "pred_depth").glob("*.npy"))
+        assert len(saved) == 1
+        arr = np.load(saved[0])
+        assert arr.shape == (48, 64)

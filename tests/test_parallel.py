@@ -1,0 +1,190 @@
+"""Distribution-layer tests on the 8-virtual-device CPU mesh.
+
+The acceptance contract from SURVEY.md §5: sharded ops must be
+bit-equivalent (within fp reassociation) to their unsharded references.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from cnmnet_tpu.parallel.mesh import make_mesh, batch_sharding, replicated
+from cnmnet_tpu.parallel.sharding import halo_exchange_rows
+from cnmnet_tpu.parallel.tiled_ops import cost_volume_tiled, depth_to_normal_tiled
+
+
+class TestMesh:
+    def test_make_mesh_shapes(self):
+        mesh = make_mesh(data=4, tile=2)
+        assert dict(mesh.shape) == {"data": 4, "tile": 2}
+        mesh = make_mesh(data=-1, tile=2)
+        assert mesh.shape["data"] * 2 == jax.device_count()
+
+    def test_batch_sharding_spec(self):
+        mesh = make_mesh(data=4, tile=2)
+        s = batch_sharding(mesh, ndim=4, spatial_dim=1)
+        assert s.spec == P("data", "tile", None, None)
+        assert replicated(mesh).spec == P()
+
+
+class TestHaloExchange:
+    @pytest.mark.parametrize("tile", [2, 4])
+    def test_matches_padded_neighbors(self, rng, tile):
+        mesh = make_mesh(data=8 // tile, tile=tile)
+        H, W, C = 16, 8, 3
+        halo = 2
+        x = jnp.asarray(rng.standard_normal((1, H, W, C)), jnp.float32)
+
+        from jax.experimental.shard_map import shard_map
+
+        fn = shard_map(
+            lambda xs: halo_exchange_rows(xs, halo, "tile"),
+            mesh=mesh,
+            in_specs=(P(None, "tile", None, None),),
+            out_specs=P(None, "tile", None, None),
+        )
+        out = np.asarray(fn(x))
+        h_local = H // tile
+        xp = np.pad(np.asarray(x), ((0, 0), (halo, halo), (0, 0), (0, 0)))
+        # shard s rows in the output: [s*(h_local+2*halo), ...): equals padded
+        # global rows [s*h_local, s*h_local + h_local + 2*halo)
+        for s in range(tile):
+            got = out[:, s * (h_local + 2 * halo) : (s + 1) * (h_local + 2 * halo)]
+            want = xp[:, s * h_local : s * h_local + h_local + 2 * halo]
+            np.testing.assert_allclose(got, want, atol=0)
+
+
+class TestTiledNormals:
+    def test_matches_unsharded(self, rng):
+        from cnmnet_tpu.geometry.camera import invert_intrinsics
+        from cnmnet_tpu.ops import depth_to_normal
+
+        mesh = make_mesh(data=2, tile=4)
+        B, H, W = 2, 32, 16
+        depth = jnp.asarray(
+            2.0 + 0.2 * rng.standard_normal((B, H, W)), jnp.float32
+        )
+        K = jnp.asarray([[20.0, 0, W / 2], [0, 20.0, H / 2], [0, 0, 1]])
+        K_inv = jnp.broadcast_to(invert_intrinsics(K), (B, 3, 3))
+
+        want, _ = depth_to_normal(depth, K_inv, k_size=9)
+        got = depth_to_normal_tiled(depth, K_inv, mesh, k_size=9)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+    def test_invalid_rows_at_shard_boundary(self, rng):
+        """Zero-depth rows straddling a shard boundary must mask identically."""
+        from cnmnet_tpu.geometry.camera import invert_intrinsics
+        from cnmnet_tpu.ops import depth_to_normal
+
+        mesh = make_mesh(data=1, tile=8)
+        B, H, W = 1, 32, 16
+        depth = np.full((B, H, W), 2.0, np.float32)
+        depth[:, 3:5] = 0.0  # invalid band at the first shard boundary
+        depth = jnp.asarray(depth)
+        K = jnp.asarray([[20.0, 0, W / 2], [0, 20.0, H / 2], [0, 0, 1]])
+        K_inv = jnp.broadcast_to(invert_intrinsics(K), (B, 3, 3))
+        want, _ = depth_to_normal(depth, K_inv, k_size=5)
+        got = depth_to_normal_tiled(depth, K_inv, mesh, k_size=5)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+class TestTiledCostVolume:
+    def test_matches_unsharded(self, rng):
+        from cnmnet_tpu.geometry.camera import Camera, plane_sweep_terms
+        from cnmnet_tpu.ops import cost_volume_from_cameras, idepth_hypotheses
+        from tests.test_geometry import make_E, make_K
+
+        mesh = make_mesh(data=2, tile=4)
+        B, H, W = 2, 16, 8
+        ref = jnp.asarray(rng.standard_normal((B, H, W, 3)), jnp.float32)
+        src = jnp.asarray(rng.standard_normal((B, H, W, 3)), jnp.float32)
+        K = make_K(fx=10.0, fy=10.0, cx=W / 2, cy=H / 2)
+        E1 = jnp.stack([jnp.asarray(make_E())] * B)
+        E2 = jnp.stack([jnp.asarray(make_E(t=(0.1, 0.05, 0.0)))] * B)
+        Ks = jnp.stack([K] * B)
+        c1 = Camera(extrinsic=E1, intrinsic=Ks)
+        c2 = Camera(extrinsic=E2, intrinsic=Ks)
+
+        want = cost_volume_from_cameras(ref, src, c1, c2, 3.0, 8)
+        KRKiUV, KT = plane_sweep_terms(c1, c2, H, W)
+        got = cost_volume_tiled(
+            ref, src, KRKiUV, KT, idepth_hypotheses(3.0, 8), mesh
+        )
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+class TestShardedBatchNorm:
+    def test_bn_stats_are_global_under_gspmd(self, rng):
+        """jit with a batch-sharded input must produce the same BN statistics
+        as the unsharded run (GSPMD sync-BN for free)."""
+        from flax import linen as nn
+
+        mesh = make_mesh(data=8, tile=1)
+
+        class M(nn.Module):
+            @nn.compact
+            def __call__(self, x, train=True):
+                return nn.BatchNorm(
+                    use_running_average=not train, momentum=0.9, epsilon=1e-5
+                )(x)
+
+        x = jnp.asarray(rng.standard_normal((16, 4, 4, 3)), jnp.float32)
+        m = M()
+        variables = m.init(jax.random.PRNGKey(0), x, train=False)
+
+        def run(v, xx):
+            y, mut = m.apply(v, xx, train=True, mutable=["batch_stats"])
+            return y, mut["batch_stats"]
+
+        y_ref, stats_ref = jax.jit(run)(variables, x)
+
+        xs = jax.device_put(x, NamedSharding(mesh, P("data")))
+        vs = jax.device_put(variables, NamedSharding(mesh, P()))
+        y_sh, stats_sh = jax.jit(run)(vs, xs)
+
+        np.testing.assert_allclose(np.asarray(y_sh), np.asarray(y_ref), atol=1e-5)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(stats_sh), jax.tree_util.tree_leaves(stats_ref)
+        ):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+class TestPlaneMetrics:
+    def test_eval_iou(self):
+        from cnmnet_tpu.ops.plane_metrics import eval_iou
+
+        a = np.zeros((4, 4), bool)
+        b = np.zeros((4, 4), bool)
+        assert eval_iou(a, b) == 1.0
+        a[:2] = True
+        b[1:3] = True
+        assert eval_iou(a, b) == pytest.approx(4 / 12)
+
+    def test_plane_prediction_perfect(self):
+        from cnmnet_tpu.ops.plane_metrics import eval_plane_prediction
+
+        # label-map convention: planes 0..n-1 plus a non-planar label
+        seg = np.zeros((8, 8), np.int32)
+        seg[:, 4:] = 1
+        seg[0, 0] = 20  # non-planar pixel (the reference counts uniques - 1)
+        depth = np.full((8, 8), 2.0)
+        pixel_recalls, stats = eval_plane_prediction(seg, seg, depth, depth)
+        assert pixel_recalls[0] == pytest.approx(1.0)
+        matched, gt_n, pred_n = stats[0]
+        assert matched == gt_n == 2
+
+    def test_recall_normal(self):
+        from cnmnet_tpu.ops.plane_metrics import eval_plane_and_pixel_recall_normal
+
+        seg = np.full((8, 8), 20, np.int32)
+        seg[:4] = 0
+        params = np.zeros((20, 3))
+        params[0] = [0, 0, 1]
+        plane_recall, pixel_recall = eval_plane_and_pixel_recall_normal(
+            seg, seg, params, params
+        )
+        # angle 0 < all thresholds except the 0.0 one
+        assert plane_recall[0, -1] == 1.0
+        assert pixel_recall[0, -1] == pytest.approx(1.0)
