@@ -3,5 +3,11 @@ from cnmnet_tpu.evals.seven_scenes_eval import (
     aggregate_metrics,
     EVAL_PROTOCOLS,
 )
+from cnmnet_tpu.evals.scannet_eval import evaluate_scannet
 
-__all__ = ["evaluate_seven_scenes", "aggregate_metrics", "EVAL_PROTOCOLS"]
+__all__ = [
+    "evaluate_seven_scenes",
+    "aggregate_metrics",
+    "EVAL_PROTOCOLS",
+    "evaluate_scannet",
+]
