@@ -51,6 +51,7 @@ class ModelConfig:
     k_size: int = 9
     norm: str = "batch"
     compute_dtype: str = "float32"  # "bfloat16" on TPU for speed
+    use_refiner: bool = True  # False: DepthNet-only staged pretraining
     cv_backend: Optional[str] = None  # kernel dispatch: None=auto, jnp, pallas
 
 

@@ -48,6 +48,8 @@ class CNMModel(nn.Module):
     norm: str = "batch"
     dtype: Any = jnp.float32
     cv_backend: Optional[str] = None  # kernel dispatch override
+    use_refiner: bool = True  # False: DepthNet-only (the reference's staged
+    # pretraining; its published checkpoint is a disparity-only DepthNet)
 
     def setup(self):
         self.depth_net = DepthNet(
@@ -91,7 +93,7 @@ class CNMModel(nn.Module):
         ]
         iconv_unfold = iconv.reshape(B, S, H, W, iconv.shape[-1])
 
-        if S == 1:
+        if S == 1 or not self.use_refiner:
             return CNMOutputs(disps_unfold, iconv_unfold, None, None, None, None)
 
         # Group-average: even-index sources -> hypothesis 1, odd -> hypothesis 2.

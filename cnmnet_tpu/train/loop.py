@@ -59,11 +59,10 @@ def make_train_step(cfg: Config, mesh: Optional[Mesh] = None) -> Callable:
             loss, metrics = compute_losses(out, batch, state.epoch, w)
             # image-sized tensors for the periodic image/histogram
             # summaries (`train.py:357-396`); free — already computed.
-            viz = {
-                "pred_idepth_01": out.disps[0][:, 0],
-                "pred_idepth_refined": out.idepth_refined,
-                "prob_map": out.prob_map,
-            }
+            viz = {"pred_idepth_01": out.disps[0][:, 0]}
+            if out.idepth_refined is not None:
+                viz["pred_idepth_refined"] = out.idepth_refined
+                viz["prob_map"] = out.prob_map
             return loss, (metrics, mutated["batch_stats"], viz)
 
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)

@@ -81,12 +81,10 @@ def compute_losses(
 
     idepth01 = out.disps[0][:, 0]  # [B,H,W,1]
     idepth02 = out.disps[0][:, 1]
-    idepth_refined = out.idepth_refined
-    prob_map = out.prob_map
+    has_refiner = out.idepth_refined is not None
 
     # --- disparity losses -------------------------------------------------
     loss_idepth_1 = 0.5 * (masked_l1(idepth01, gt_disp) + masked_l1(idepth02, gt_disp))
-    loss_idepth_refined = masked_l1(idepth_refined, gt_disp)
     loss_idepth_234 = 0.5 * (
         multiscale_idepth_loss([d[:, 0] for d in out.disps], gt_disp)
         + multiscale_idepth_loss([d[:, 1] for d in out.disps], gt_disp)
@@ -95,35 +93,52 @@ def compute_losses(
     # --- depth losses -----------------------------------------------------
     depth01 = _to_depth(idepth01)
     depth02 = _to_depth(idepth02)
-    depth_refined = _to_depth(idepth_refined)
     loss_depth_1 = 0.5 * (
         masked_l1(depth01, gt_depth_ref) + masked_l1(depth02, gt_depth_ref)
     )
-    loss_depth_refined = masked_l1(depth_refined, gt_depth_ref)
-
-    # --- prob losses ------------------------------------------------------
-    prob_loss_depth = prob_weighted_l1(idepth_refined, gt_disp, prob_map) + (
-        prob_weighted_l1(depth_refined, gt_depth_ref, prob_map)
-    )
-    prob_loss_minusmean = 1.0 - jnp.mean(prob_map)
-    prob_map_loss, prob_map_gt = prob_supervision_loss(
-        prob_map, idepth_refined, gt_disp, w.prob_weight
-    )
-    prob_loss = 5.0 * prob_loss_depth + prob_loss_minusmean
-    if w.include_prob_map_loss:
-        prob_loss = prob_loss + prob_map_loss
 
     metrics = {
         "loss_idepth": loss_idepth_1,
         "loss_idepth_234": loss_idepth_234,
-        "loss_idepth_refined": loss_idepth_refined,
         "loss_depth": loss_depth_1,
-        "loss_depth_refined": loss_depth_refined,
-        "prob_loss": prob_loss,
-        "prob_loss_depth": prob_loss_depth,
-        "prob_loss_minusmean": prob_loss_minusmean,
-        "prob_map_loss": prob_map_loss,
     }
+
+    if has_refiner:
+        idepth_refined = out.idepth_refined
+        prob_map = out.prob_map
+        depth_refined = _to_depth(idepth_refined)
+        loss_idepth_refined = masked_l1(idepth_refined, gt_disp)
+        loss_depth_refined = masked_l1(depth_refined, gt_depth_ref)
+
+        prob_loss_depth = prob_weighted_l1(idepth_refined, gt_disp, prob_map) + (
+            prob_weighted_l1(depth_refined, gt_depth_ref, prob_map)
+        )
+        prob_loss_minusmean = 1.0 - jnp.mean(prob_map)
+        prob_map_loss, prob_map_gt = prob_supervision_loss(
+            prob_map, idepth_refined, gt_disp, w.prob_weight
+        )
+        prob_loss = 5.0 * prob_loss_depth + prob_loss_minusmean
+        if w.include_prob_map_loss:
+            prob_loss = prob_loss + prob_map_loss
+        metrics.update(
+            {
+                "loss_idepth_refined": loss_idepth_refined,
+                "loss_depth_refined": loss_depth_refined,
+                "prob_loss": prob_loss,
+                "prob_loss_depth": prob_loss_depth,
+                "prob_loss_minusmean": prob_loss_minusmean,
+                "prob_map_loss": prob_map_loss,
+            }
+        )
+    else:
+        # DepthNet-only staged pretraining (the reference's disparity
+        # checkpoint): no refined/prob terms.
+        zero = jnp.zeros_like(loss_idepth_1)
+        idepth_refined = idepth01
+        depth_refined = depth01
+        loss_idepth_refined = zero
+        loss_depth_refined = zero
+        prob_loss = zero
 
     if not w.use_normal_loss:
         # `train_wo_normal` (`train.py:556-560`): 5-epoch disparity-only
