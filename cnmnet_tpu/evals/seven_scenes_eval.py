@@ -79,6 +79,8 @@ def evaluate_seven_scenes(
     max_frames_per_seq: Optional[int] = None,
     seqs: Optional[list] = None,
     logger=None,
+    frame_batch: int = 1,
+    mesh=None,
 ) -> Dict[str, float]:
     """Run a protocol over the 18 test sequences.
 
@@ -96,6 +98,43 @@ def evaluate_seven_scenes(
     per_frame: List[Dict[str, float]] = []
     total_time, count = 0.0, 0
     import jax
+
+    # pending frames for batched (data-parallel) inference
+    pending: List[dict] = []
+
+    def flush():
+        """Run one batched forward over the pending frames (padding the tail
+        so a single compiled program serves every flush)."""
+        nonlocal total_time, count
+        if not pending:
+            return
+        n = len(pending)
+        images = np.stack([p["images"] for p in pending])
+        cams = np.stack([p["cams"] for p in pending])
+        if n < frame_batch:  # pad to the fixed batch shape
+            reps = frame_batch - n
+            images = np.concatenate([images, np.repeat(images[-1:], reps, 0)])
+            cams = np.concatenate([cams, np.repeat(cams[-1:], reps, 0)])
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            sh = NamedSharding(mesh, P("data"))
+            images = jax.device_put(images, sh)
+            cams = jax.device_put(cams, sh)
+        t0 = time.monotonic()
+        idepth = jax.block_until_ready(forward_fn(images, cams))
+        total_time += time.monotonic() - t0
+        count += n
+        for i, p in enumerate(pending):
+            pred_depth = 1.0 / (np.asarray(idepth)[i, :, :, 0] + 1e-8)
+            per_frame.append(_frame_metrics(pred_depth, p["gt_depth"]))
+            if save_dir:
+                d = os.path.join(save_dir, p["scene"], p["seq"], "pred_depth")
+                os.makedirs(d, exist_ok=True)
+                np.save(
+                    os.path.join(d, p["name"] + ".pred_depth.npy"), pred_depth
+                )
+        pending.clear()
 
     for scene, seq in (seqs or ds.test_seqs_list):
         paths = ds.frame_paths(scene, seq)
@@ -119,26 +158,20 @@ def evaluate_seven_scenes(
             except (ValueError, FileNotFoundError, OSError):
                 continue  # invalid cameras are skipped (`eval.py:594-617`)
 
-            images = np.stack([v[0] for v in views])[None]
-            cams = np.stack([v[1] for v in views])[None]
-
-            t0 = time.monotonic()
-            idepth = forward_fn(images, cams)
-            idepth = jax.block_until_ready(idepth)
-            total_time += time.monotonic() - t0
-            count += 1
+            pending.append(
+                {
+                    "images": np.stack([v[0] for v in views]),
+                    "cams": np.stack([v[1] for v in views]),
+                    "gt_depth": gt_depth,
+                    "scene": scene,
+                    "seq": seq,
+                    "name": paths[index]["name"],
+                }
+            )
             done += 1
-
-            pred_depth = 1.0 / (np.asarray(idepth)[0, :, :, 0] + 1e-8)
-            per_frame.append(_frame_metrics(pred_depth, gt_depth))
-
-            if save_dir:
-                d = os.path.join(save_dir, scene, seq, "pred_depth")
-                os.makedirs(d, exist_ok=True)
-                np.save(
-                    os.path.join(d, paths[index]["name"] + ".pred_depth.npy"),
-                    pred_depth,
-                )
+            if len(pending) >= frame_batch:
+                flush()
+        flush()
         if logger is not None and count:
             logger.log_scalars(
                 count, aggregate_metrics(per_frame), prefix=f"{scene}/{seq}"

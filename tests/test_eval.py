@@ -95,6 +95,33 @@ class TestHarness:
         )
         assert result["abs_rel"] == pytest.approx(0.2, abs=0.01)
 
+    def test_batched_inference_matches_serial(self, mock_seven_scenes):
+        """frame_batch > 1 (data-parallel inference incl. tail padding) must
+        give identical metrics to per-frame evaluation."""
+
+        def oracle(images, cams):
+            import jax.numpy as jnp
+
+            B, V, h, w, _ = images.shape
+            # depth varies per frame via the ref camera x-translation so
+            # batching bugs would change the metrics
+            tx = cams[:, 0, 0, 0, 3]
+            return jnp.broadcast_to(
+                (1.0 / 2.5 + 0.001 * tx)[:, None, None, None], (B, h, w, 1)
+            )
+
+        kw = dict(
+            num_sources=2, image_height=48, image_width=64,
+            max_frames_per_seq=5, seqs=[("chess", "seq-03")],
+        )
+        serial = evaluate_seven_scenes(oracle, mock_seven_scenes, **kw)
+        batched = evaluate_seven_scenes(
+            oracle, mock_seven_scenes, frame_batch=4, **kw
+        )
+        assert batched["frames"] == serial["frames"]
+        for k in ("abs_rel", "rmse", "a1"):
+            assert batched[k] == pytest.approx(serial[k], rel=1e-6)
+
     def test_save_dir(self, mock_seven_scenes, tmp_path):
         def oracle(images, cams):
             import jax.numpy as jnp
