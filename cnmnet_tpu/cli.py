@@ -45,6 +45,11 @@ def _parse(argv):
     pc.add_argument("--out-width", type=int, default=256)
     pc.add_argument("--out-height", type=int, default=192)
 
+    pp = sub.add_parser("prep-planes", help="PlaneRCNN annotations -> per-frame plane segs/params")
+    pp.add_argument("--scene-dir", required=True)
+    pp.add_argument("--num-workers", type=int, default=4)
+    pp.add_argument("--limit", type=int, default=None)
+
     pl_ = sub.add_parser("prep-list", help="generate a train list")
     pl_.add_argument("--root-dir", required=True)
     pl_.add_argument("--out", required=True)
@@ -217,6 +222,14 @@ def cmd_prep_cameras(args) -> int:
     return 0
 
 
+def cmd_prep_planes(args) -> int:
+    from cnmnet_tpu.data.prep_planes import prepare_scene
+
+    n = prepare_scene(args.scene_dir, num_workers=args.num_workers, limit=args.limit)
+    print(f"wrote {n} frames")
+    return 0
+
+
 def cmd_prep_list(args) -> int:
     from cnmnet_tpu.data.prep import make_train_list
 
@@ -238,6 +251,7 @@ def main(argv=None) -> int:
         "eval": cmd_eval,
         "bench": cmd_bench,
         "prep-cameras": cmd_prep_cameras,
+        "prep-planes": cmd_prep_planes,
         "prep-list": cmd_prep_list,
     }[args.command](args)
 
