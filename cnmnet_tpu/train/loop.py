@@ -24,6 +24,7 @@ from typing import Callable, Dict, Iterator, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from cnmnet_tpu.config import Config
@@ -156,24 +157,41 @@ def train_loop(
 
     step_fn = make_train_step(cfg, mesh)
     global_step = int(state.step)
+    nan_streak = 0  # failure detection: the reference just crashes
+    # (`dataloader_batch.py:108-124` exit(1)); we halt with a checkpoint.
 
-    for epoch in range(start_epoch, cfg.train.num_epochs):
-        state = state.replace(epoch=jnp.asarray(epoch, jnp.int32))
-        tic = time.monotonic()
-        for it, batch in enumerate(data_iter_fn()):
-            if cfg.train.steps_per_epoch and it >= cfg.train.steps_per_epoch:
-                break
-            state, metrics = step_fn(state, batch)
-            global_step += 1
-            viz = metrics.pop("viz", None)
-            if max_steps and global_step >= max_steps:
-                return state
-            if logger is not None and it % cfg.train.print_interval == 0:
-                scalars = {k: float(v) for k, v in metrics.items()}
-                scalars["step_time"] = (time.monotonic() - tic) / (it + 1)
-                logger.log_scalars(global_step, scalars, prefix=f"epoch {epoch}")
-                if viz is not None and it % (cfg.train.print_interval * 10) == 0:
-                    _log_images(logger, global_step, batch, viz)
+    try:
+        for epoch in range(start_epoch, cfg.train.num_epochs):
+            state = state.replace(epoch=jnp.asarray(epoch, jnp.int32))
+            tic = time.monotonic()
+            for it, batch in enumerate(data_iter_fn()):
+                if cfg.train.steps_per_epoch and it >= cfg.train.steps_per_epoch:
+                    break
+                state, metrics = step_fn(state, batch)
+                global_step += 1
+                viz = metrics.pop("viz", None)
+                if max_steps and global_step >= max_steps:
+                    return state
+                if logger is not None and it % cfg.train.print_interval == 0:
+                    scalars = {k: float(v) for k, v in metrics.items()}
+                    scalars["step_time"] = (time.monotonic() - tic) / (it + 1)
+                    logger.log_scalars(global_step, scalars, prefix=f"epoch {epoch}")
+                    if viz is not None and it % (cfg.train.print_interval * 10) == 0:
+                        _log_images(logger, global_step, batch, viz)
+                    nan_streak = (
+                        nan_streak + 1 if not np.isfinite(scalars["loss"]) else 0
+                    )
+                    if nan_streak >= 3:
+                        raise FloatingPointError(
+                            f"loss non-finite for {nan_streak} consecutive "
+                            f"logged steps at step {global_step}"
+                        )
+            if checkpointer is not None:
+                checkpointer.save(state, step=global_step)
+    except (KeyboardInterrupt, FloatingPointError):
+        # preemption / divergence: leave a resumable checkpoint behind
         if checkpointer is not None:
             checkpointer.save(state, step=global_step)
+            checkpointer.wait()
+        raise
     return state
