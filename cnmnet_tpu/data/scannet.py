@@ -251,7 +251,7 @@ class ScanNetDataset:
             sample["plane_segs"] = _resize(
                 seg.astype(np.float32), self.w, self.h, nearest=True
             ).astype(np.int32)
-            inst_r = np.zeros((self.max_planes, self.h, self.w), np.float32)
+            inst_r = np.zeros((self.max_planes, self.h, self.w), np.uint8)
             for k in range(self.max_planes):
                 inst_r[k] = _resize(instance[k], self.w, self.h, nearest=True)
             sample["instance_segs"] = inst_r
@@ -262,7 +262,7 @@ class ScanNetDataset:
             )
         else:
             sample["instance_segs"] = np.zeros(
-                (self.max_planes, self.h, self.w), np.float32
+                (self.max_planes, self.h, self.w), np.uint8
             )
             sample["planes_num"] = np.int32(0)
         return sample

@@ -172,7 +172,9 @@ class SyntheticScenes:
                 label_ref = label
 
         S = self.max_planes
-        instance = np.zeros((S, self.height, self.width), np.float32)
+        # uint8 on the wire: these cross host->device every step and the
+        # plane ops cast to float in-graph anyway
+        instance = np.zeros((S, self.height, self.width), np.uint8)
         planes_num = min(len(planes), S)
         for i in range(planes_num):
             instance[i] = label_ref == i
