@@ -36,6 +36,8 @@ def _parse(argv):
     e.add_argument("--checkpoint", default=None)
     e.add_argument("--save-dir", default=None)
     e.add_argument("--max-frames-per-seq", type=int, default=None)
+    e.add_argument("--frame-batch", type=int, default=1,
+                   help="frames per batched forward (data-parallel inference)")
     e.add_argument("overrides", nargs="*")
 
     b = sub.add_parser("bench", help="single-chip throughput benchmark")
@@ -201,6 +203,7 @@ def cmd_eval(args) -> int:
         image_width=cfg.dataset.image_width,
         save_dir=args.save_dir,
         max_frames_per_seq=args.max_frames_per_seq,
+        frame_batch=args.frame_batch,
     )
     for k, v in result.items():
         print(f"{k}: {v:.4f}")

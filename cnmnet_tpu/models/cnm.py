@@ -21,7 +21,7 @@ from typing import Any, List, NamedTuple, Optional
 import jax.numpy as jnp
 from flax import linen as nn
 
-from cnmnet_tpu.geometry.camera import Camera, camera_from_array
+from cnmnet_tpu.geometry.camera import camera_from_array
 from cnmnet_tpu.kernels import dispatch
 from cnmnet_tpu.models.depthnet import DepthNet
 from cnmnet_tpu.models.refinenet import DepthRefineNet

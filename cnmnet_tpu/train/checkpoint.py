@@ -16,7 +16,6 @@ from __future__ import annotations
 import os
 from typing import Optional
 
-import jax
 import orbax.checkpoint as ocp
 
 from cnmnet_tpu.train.state import CNMTrainState

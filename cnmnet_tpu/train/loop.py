@@ -19,7 +19,6 @@ with one compiled program per step:
 from __future__ import annotations
 
 import time
-from functools import partial
 from typing import Callable, Dict, Iterator, Optional
 
 import jax

@@ -26,7 +26,7 @@ from typing import Dict, Tuple
 
 import jax.numpy as jnp
 
-from cnmnet_tpu.geometry.camera import camera_from_array, invert_intrinsics, invert_se3
+from cnmnet_tpu.geometry.camera import invert_intrinsics, invert_se3
 from cnmnet_tpu.kernels import dispatch
 from cnmnet_tpu.models.cnm import CNMOutputs
 from cnmnet_tpu.ops.losses import (
