@@ -52,6 +52,7 @@ class ModelConfig:
     norm: str = "batch"
     compute_dtype: str = "float32"  # "bfloat16" on TPU for speed
     use_refiner: bool = True  # False: DepthNet-only staged pretraining
+    remat: bool = False  # rematerialize the DepthNet encoder in backward
     cv_backend: Optional[str] = None  # kernel dispatch: None=auto, jnp, pallas
 
 

@@ -50,10 +50,12 @@ class CNMModel(nn.Module):
     cv_backend: Optional[str] = None  # kernel dispatch override
     use_refiner: bool = True  # False: DepthNet-only (the reference's staged
     # pretraining; its published checkpoint is a disparity-only DepthNet)
+    remat: bool = False  # checkpoint the DepthNet encoder (for large batches)
 
     def setup(self):
         self.depth_net = DepthNet(
-            idepth_scale=self.idepth_scale, norm=self.norm, dtype=self.dtype
+            idepth_scale=self.idepth_scale, norm=self.norm, dtype=self.dtype,
+            remat=self.remat,
         )
         self.refine_net = DepthRefineNet(
             idepth_scale=self.idepth_scale, norm=self.norm, dtype=self.dtype

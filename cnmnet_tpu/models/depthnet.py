@@ -38,6 +38,7 @@ class DepthNet(nn.Module):
     idepth_scale: float = 3.0
     norm: str = "batch"
     dtype: Any = jnp.float32
+    remat: bool = False  # rematerialize encoder blocks (memory for FLOPs)
 
     @nn.compact
     def __call__(
@@ -51,11 +52,17 @@ class DepthNet(nn.Module):
         kw = dict(norm=self.norm, dtype=self.dtype)
         x = jnp.concatenate([ref_image.astype(self.dtype), cost_volume.astype(self.dtype)], axis=-1)
 
-        conv1 = DownConvBlock(128, 7, **kw)(x, train)  # 1/2
-        conv2 = DownConvBlock(256, 5, **kw)(conv1, train)  # 1/4
-        conv3 = DownConvBlock(512, 3, **kw)(conv2, train)  # 1/8
-        conv4 = DownConvBlock(512, 3, **kw)(conv3, train)  # 1/16
-        conv5 = DownConvBlock(512, 3, **kw)(conv4, train)  # 1/32
+        # explicit names: nn.remat changes the auto-naming prefix, which
+        # would silently re-key (and re-init) the params when toggled.
+        Down = (
+            nn.remat(DownConvBlock, static_argnums=(2,)) if self.remat
+            else DownConvBlock
+        )
+        conv1 = Down(128, 7, **kw, name="DownConvBlock_0")(x, train)  # 1/2
+        conv2 = Down(256, 5, **kw, name="DownConvBlock_1")(conv1, train)  # 1/4
+        conv3 = Down(512, 3, **kw, name="DownConvBlock_2")(conv2, train)  # 1/8
+        conv4 = Down(512, 3, **kw, name="DownConvBlock_3")(conv3, train)  # 1/16
+        conv5 = Down(512, 3, **kw, name="DownConvBlock_4")(conv4, train)  # 1/32
 
         upconv5 = UpConvBlock(512, 3, **kw)(conv5, train)  # 1/16
         iconv5 = ConvNormAct(512, 3, **kw)(

@@ -82,9 +82,33 @@ class DownConvBlock(nn.Module):
 
 
 def upsample2x_bilinear(x: jnp.ndarray) -> jnp.ndarray:
-    """Bilinear x2 with half-pixel centers (torch align_corners=False)."""
+    """Bilinear x2 with half-pixel centers (torch align_corners=False).
+
+    Implemented as an edge-padded fractionally-strided depthwise convolution
+    rather than ``jax.image.resize``: numerically identical (hat weights
+    0.25/0.75 with edge clamping), marginally faster on TPU, and — the real
+    reason — GSPMD partitions convolutions exactly under spatial ("tile")
+    sharding, whereas resize's gather lowers with ~3e-2 gradient error when
+    its input is sharded (measured; see tests/test_parallel.py).
+    """
+    from jax import lax
+
     B, H, W, C = x.shape
-    return jax.image.resize(x, (B, 2 * H, 2 * W, C), method="bilinear")
+    k = jnp.asarray([0.25, 0.75, 0.75, 0.25], x.dtype)
+    kv = jnp.broadcast_to(k.reshape(4, 1, 1, 1), (4, 1, 1, C))
+    kh = jnp.broadcast_to(k.reshape(1, 4, 1, 1), (1, 4, 1, C))
+    dn = lax.conv_dimension_numbers(x.shape, (4, 1, 1, 1), ("NHWC", "HWIO", "NHWC"))
+    xe = jnp.pad(x, ((0, 0), (1, 1), (0, 0), (0, 0)), mode="edge")
+    y = lax.conv_general_dilated(
+        xe, kv, (1, 1), [(0, 0), (0, 0)], lhs_dilation=(2, 1),
+        dimension_numbers=dn, feature_group_count=C,
+    )  # length 2H exactly (see weight algebra in the docstring)
+    ye = jnp.pad(y, ((0, 0), (0, 0), (1, 1), (0, 0)), mode="edge")
+    out = lax.conv_general_dilated(
+        ye, kh, (1, 1), [(0, 0), (0, 0)], lhs_dilation=(1, 2),
+        dimension_numbers=dn, feature_group_count=C,
+    )
+    return out
 
 
 def upsample2x_nearest(x: jnp.ndarray) -> jnp.ndarray:

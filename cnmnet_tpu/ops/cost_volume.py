@@ -141,6 +141,10 @@ def cost_volume_from_cameras(
     B, H, W, _ = ref_image.shape
     idepths = idepth_hypotheses(idepth_scale, num_planes)
     KRKiUV, KT = plane_sweep_terms(ref_cam, src_cam, H, W)  # [B,3,HW], [B,3,1]
-    return jax.vmap(plane_sweep_cost_volume, in_axes=(0, 0, 0, 0, None))(
+    out = jax.vmap(plane_sweep_cost_volume, in_axes=(0, 0, 0, 0, None))(
         ref_image, src_image, KRKiUV, KT, idepths
     )
+    # The volume is built from input images with no parameters upstream:
+    # gradients through it are dead weight (a large scatter in the backward)
+    # — same contract as the Pallas kernel.
+    return jax.lax.stop_gradient(out)

@@ -78,12 +78,26 @@ def make_train_step(cfg: Config, mesh: Optional[Mesh] = None) -> Callable:
         repl = NamedSharding(mesh, P())
         jitted = jax.jit(step, donate_argnums=(0,))
         first_call = [True]
+        tiled = mesh.shape.get("tile", 1) > 1
+        # Which dim of each batch field is the image-row (H) axis; sharding
+        # it over "tile" makes GSPMD spatially partition the cost volume and
+        # conv stack (automatic halo exchange) — the SP analogue of
+        # SURVEY.md §5.
+        h_dims = {
+            "images": 2,       # [B, V, H, W, 3]
+            "depths": 2,       # [B, V, H, W]
+            "disparity": 1,    # [B, H, W]
+            "normals": 1,      # [B, H, W, 3]
+            "instance_segs": 2,  # [B, S, H, W]
+        }
 
         def sharded_step(state, batch):
-            shardings = {
-                k: NamedSharding(mesh, P(*(("data",) + (None,) * (v.ndim - 1))))
-                for k, v in batch.items()
-            }
+            shardings = {}
+            for k, v in batch.items():
+                spec = ["data"] + [None] * (v.ndim - 1)
+                if tiled and k in h_dims:
+                    spec[h_dims[k]] = "tile"
+                shardings[k] = NamedSharding(mesh, P(*spec))
             batch = jax.device_put(batch, shardings)
             if first_call[0]:
                 state = jax.device_put(state, repl)

@@ -58,6 +58,7 @@ def build_model(cfg: Config) -> CNMModel:
         dtype=jnp.dtype(cfg.model.compute_dtype),
         cv_backend=cfg.model.cv_backend,
         use_refiner=cfg.model.use_refiner,
+        remat=cfg.model.remat,
     )
 
 

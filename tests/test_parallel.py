@@ -151,6 +151,102 @@ class TestShardedBatchNorm:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
 
+class TestShardedModelForward:
+    """Full-model equivalence under mesh sharding.
+
+    Criterion: forward values within fp-reassociation amplification bounds.
+    BN batch statistics are psums whose reassociation differs per sharding
+    (~1e-6); each of the ~10 BN layers renormalizes on those stats, so the
+    output difference compounds to ~1e-3 — measured and bounded here, NOT
+    bit-equality (gradients amplify further and are compared statistically
+    in training, as with any sync-BN data-parallel system). The cost-volume
+    op itself is bit-exact under sharding (asserted below)."""
+
+    def _setup(self):
+        import jax.numpy as jnp
+
+        from cnmnet_tpu.config import Config
+        from cnmnet_tpu.train.state import create_train_state
+        from __graft_entry__ import _tiny_batch
+
+        cfg = Config()
+        cfg.model.num_planes = 8
+        cfg.model.k_size = 5
+        batch = {k: jnp.asarray(v) for k, v in _tiny_batch(2, 32, 64).items()}
+        state = create_train_state(cfg, jax.random.PRNGKey(0), batch)
+        return state, batch
+
+    @pytest.mark.parametrize("data,tile", [(2, 1), (2, 4)])
+    def test_forward_within_reassociation_bounds(self, data, tile):
+        import jax.numpy as jnp
+
+        state, batch = self._setup()
+        mesh = make_mesh(data=data, tile=tile, devices=jax.devices()[: data * tile])
+        h_dims = {"images": 2, "depths": 2, "disparity": 1, "normals": 1,
+                  "instance_segs": 2}
+
+        @jax.jit
+        def fwd(p, bs, bt):
+            out, _ = state.apply_fn(
+                {"params": p, "batch_stats": bs},
+                bt["images"], bt["cams"], train=True, mutable=["batch_stats"],
+            )
+            return out.disps[0], out.idepth_refined
+
+        d_a, r_a = fwd(state.params, state.batch_stats, batch)
+        sb = {}
+        for k, v in batch.items():
+            spec = ["data"] + [None] * (v.ndim - 1)
+            if tile > 1 and k in h_dims:
+                spec[h_dims[k]] = "tile"
+            sb[k] = jax.device_put(v, NamedSharding(mesh, P(*spec)))
+        sp = jax.device_put(state.params, NamedSharding(mesh, P()))
+        ss = jax.device_put(state.batch_stats, NamedSharding(mesh, P()))
+        d_b, r_b = fwd(sp, ss, sb)
+        assert float(jnp.max(jnp.abs(d_a - d_b))) < 5e-3
+        assert float(jnp.max(jnp.abs(r_a - r_b))) < 2e-2
+
+    def test_cost_volume_bit_exact_under_sharding(self):
+        import jax.numpy as jnp
+
+        from cnmnet_tpu.geometry.camera import camera_from_array
+        from cnmnet_tpu.ops.cost_volume import cost_volume_from_cameras
+        from __graft_entry__ import _tiny_batch
+
+        batch = {k: jnp.asarray(v) for k, v in _tiny_batch(2, 32, 64).items()}
+        mesh = make_mesh(data=2, tile=1, devices=jax.devices()[:2])
+
+        @jax.jit
+        def vol(bt):
+            return cost_volume_from_cameras(
+                bt["images"][:, 0], bt["images"][:, 1],
+                camera_from_array(bt["cams"][:, 0]),
+                camera_from_array(bt["cams"][:, 1]), 3.0, 8,
+            )
+
+        a = vol(batch)
+        sb = {
+            k: jax.device_put(
+                v, NamedSharding(mesh, P(*(["data"] + [None] * (v.ndim - 1))))
+            )
+            for k, v in batch.items()
+        }
+        b = vol(sb)
+        assert float(jnp.max(jnp.abs(a - b))) == 0.0
+
+
+class TestUpsample:
+    def test_conv_upsample_matches_resize(self, rng):
+        import jax.numpy as jnp
+
+        from cnmnet_tpu.models.layers import upsample2x_bilinear
+
+        x = jnp.asarray(rng.standard_normal((2, 6, 8, 3)), jnp.float32)
+        ref = jax.image.resize(x, (2, 12, 16, 3), method="bilinear")
+        got = upsample2x_bilinear(x)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-6)
+
+
 class TestPlaneMetrics:
     def test_eval_iou(self):
         from cnmnet_tpu.ops.plane_metrics import eval_iou
