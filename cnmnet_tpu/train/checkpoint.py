@@ -66,10 +66,21 @@ class CheckpointManager:
                 step, args=ocp.args.StandardRestore(template)
             )
         else:
-            ckptr = ocp.StandardCheckpointer()
-            restored = ckptr.restore(
-                os.path.abspath(str(directory_or_step)), template
-            )
+            path = os.path.abspath(str(directory_or_step))
+            # A manager root (numeric step subdirectories, e.g. the
+            # reference-style `resume_dir=<checkpoints>`): open it as a
+            # manager and restore its newest step.
+            steps = [
+                int(d) for d in os.listdir(path) if d.isdigit()
+            ] if os.path.isdir(path) else []
+            if steps:
+                other = ocp.CheckpointManager(path)
+                restored = other.restore(
+                    max(steps), args=ocp.args.StandardRestore(template)
+                )
+            else:
+                ckptr = ocp.StandardCheckpointer()
+                restored = ckptr.restore(path, template)
         if not with_optimizer:
             restored = restored.replace(
                 opt_state=template.tx.init(restored.params)

@@ -105,6 +105,27 @@ class TestCheckpoint:
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
         assert int(restored.step) == int(state.step)
 
+    def test_resume_dir_path_restore(self, tiny_cfg, tiny_batch, tmp_path):
+        """The reference-style `resume_dir=<path>` flow: restoring by manager
+        root path (what cli train passes through train_loop)."""
+        from cnmnet_tpu.train.checkpoint import CheckpointManager
+
+        state = create_train_state(tiny_cfg, jax.random.PRNGKey(0), tiny_batch)
+        step = make_train_step(tiny_cfg)
+        state, _ = step(state, tiny_batch)
+        root = str(tmp_path / "resume_root")
+        mgr = CheckpointManager(root)
+        mgr.save(state)
+        mgr.wait()
+
+        template = create_train_state(tiny_cfg, jax.random.PRNGKey(1), tiny_batch)
+        other = CheckpointManager(str(tmp_path / "elsewhere"))
+        restored = other.restore(root, template)
+        assert int(restored.step) == int(state.step)
+        a = jax.tree_util.tree_leaves(state.params)[0]
+        b = jax.tree_util.tree_leaves(restored.params)[0]
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
     def test_restore_without_optimizer(self, tiny_cfg, tiny_batch, tmp_path):
         """The reference deliberately skips optimizer restore (`train.py:103`)."""
         from cnmnet_tpu.train.checkpoint import CheckpointManager
