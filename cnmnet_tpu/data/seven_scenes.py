@@ -60,6 +60,10 @@ class SevenScenes:
     def frame_paths(self, scene: str, seq: str) -> List[Dict[str, str]]:
         seq_dir = os.path.join(self.root_dir, scene, seq)
         out = []
+        if not os.path.isdir(seq_dir):
+            # partial datasets are common; the protocol's other sequences
+            # still evaluate
+            return out
         for filename in sorted(os.listdir(seq_dir)):
             if "color" in filename:
                 out.append(
