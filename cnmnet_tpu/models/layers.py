@@ -98,12 +98,16 @@ def upsample2x_bilinear(x: jnp.ndarray) -> jnp.ndarray:
     kv = jnp.broadcast_to(k.reshape(4, 1, 1, 1), (4, 1, 1, C))
     kh = jnp.broadcast_to(k.reshape(1, 4, 1, 1), (1, 4, 1, C))
     dn = lax.conv_dimension_numbers(x.shape, (4, 1, 1, 1), ("NHWC", "HWIO", "NHWC"))
-    xe = jnp.pad(x, ((0, 0), (1, 1), (0, 0), (0, 0)), mode="edge")
+    # Edge padding via explicit concatenate, NOT jnp.pad(mode="edge"): the
+    # pad VJP lowers to a collective-permute under GSPMD even on a pure
+    # batch-sharded mesh (the round-1 multichip rendezvous crash); the
+    # slice+concat transpose stays local. Forward is bit-identical.
+    xe = jnp.concatenate([x[:, :1], x, x[:, -1:]], axis=1)
     y = lax.conv_general_dilated(
         xe, kv, (1, 1), [(0, 0), (0, 0)], lhs_dilation=(2, 1),
         dimension_numbers=dn, feature_group_count=C,
     )  # length 2H exactly (see weight algebra in the docstring)
-    ye = jnp.pad(y, ((0, 0), (0, 0), (1, 1), (0, 0)), mode="edge")
+    ye = jnp.concatenate([y[:, :, :1], y, y[:, :, -1:]], axis=2)
     out = lax.conv_general_dilated(
         ye, kh, (1, 1), [(0, 0), (0, 0)], lhs_dilation=(1, 2),
         dimension_numbers=dn, feature_group_count=C,
