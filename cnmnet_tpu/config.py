@@ -54,6 +54,9 @@ class ModelConfig:
     use_refiner: bool = True  # False: DepthNet-only staged pretraining
     remat: bool = False  # rematerialize the DepthNet encoder in backward
     cv_backend: Optional[str] = None  # kernel dispatch: None=auto, jnp, pallas
+    sampling: str = "exact"  # cost-volume sampling convention; "torch"
+    # reproduces the reference's era grid_sample (u*(S-1)/S) for imported
+    # checkpoints (see kernels/dispatch.py)
 
 
 @dataclass

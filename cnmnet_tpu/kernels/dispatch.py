@@ -16,6 +16,7 @@ from __future__ import annotations
 import functools
 
 import jax
+import jax.numpy as jnp
 
 from cnmnet_tpu.ops import cost_volume as _cv_ops
 from cnmnet_tpu.ops import normals as _normal_ops
@@ -45,8 +46,24 @@ def set_backend(name: str | None) -> None:
 
 
 def cost_volume(ref_images, src_images, ref_cam, src_cam, idepth_scale=3.0,
-                num_planes=64, backend=None):
-    """Batched plane-sweep cost volume ``[B, H, W, P]`` (see ops.cost_volume)."""
+                num_planes=64, backend=None, sampling="exact"):
+    """Batched plane-sweep cost volume ``[B, H, W, P]`` (see ops.cost_volume).
+
+    sampling: "exact" samples the source at the true pinhole projection u;
+    "torch" reproduces the reference's torch-1.2-era grid_sample
+    (align_corners=True after /(S/2) normalization, `depthNet_model.py:214-220`),
+    which lands at u*(S-1)/S — use it when evaluating imported reference
+    checkpoints. Implemented by pre-scaling the source intrinsics (identical
+    math, works for every backend).
+    """
+    if sampling == "torch":
+        H, W = ref_images.shape[1], ref_images.shape[2]
+        s = jnp.asarray(
+            [(W - 1) / W, (H - 1) / H, 1.0], ref_images.dtype
+        )[:, None]
+        src_cam = src_cam._replace(intrinsic=src_cam.intrinsic * s)
+    elif sampling != "exact":
+        raise ValueError(f"unknown sampling convention {sampling!r}")
     b = backend or get_backend()
     if b == "pallas":
         try:

@@ -48,6 +48,8 @@ class CNMModel(nn.Module):
     norm: str = "batch"
     dtype: Any = jnp.float32
     cv_backend: Optional[str] = None  # kernel dispatch override
+    sampling: str = "exact"  # "torch" reproduces the reference's era
+    # grid_sample convention (u*(S-1)/S) for imported-checkpoint parity
     use_refiner: bool = True  # False: DepthNet-only (the reference's staged
     # pretraining; its published checkpoint is a disparity-only DepthNet)
     remat: bool = False  # checkpoint the DepthNet encoder (for large batches)
@@ -86,6 +88,7 @@ class CNMModel(nn.Module):
             idepth_scale=self.idepth_scale,
             num_planes=self.num_planes,
             backend=self.cv_backend,
+            sampling=self.sampling,
         )
 
         disps, iconv = self.depth_net(ref_rep, volume, train=train)

@@ -57,6 +57,7 @@ def build_model(cfg: Config) -> CNMModel:
         norm=cfg.model.norm,
         dtype=jnp.dtype(cfg.model.compute_dtype),
         cv_backend=cfg.model.cv_backend,
+        sampling=cfg.model.sampling,
         use_refiner=cfg.model.use_refiner,
         remat=cfg.model.remat,
     )
