@@ -7,13 +7,22 @@ Every hot op has two interchangeable implementations:
 * ``pallas`` — the fused TPU kernel in ``cnmnet_tpu/kernels`` (bit-tolerance
   tested against the jnp impl).
 
-The active backend defaults to ``pallas`` on TPU and ``jnp`` elsewhere, and
-can be forced globally (``set_backend``) or per call (``backend=`` kwarg).
+Selection policy:
+
+* ``backend=None`` (auto): ``pallas`` on TPU **when the kernel supports the
+  shapes** (the kernels require W % 128 == 0 etc.), else ``jnp`` — with a
+  one-time warning on TPU, where the jnp gather path compiles poorly;
+* ``backend="pallas"`` / ``"jnp"`` (explicit, per call or via
+  ``set_backend``): exactly that implementation. A requested backend that
+  cannot load or cannot handle the shapes **raises** — never a silent
+  fallback (round-1 shipped a phantom kernel precisely because the old
+  ``except ImportError: pass`` hid it).
 """
 
 from __future__ import annotations
 
 import functools
+import warnings
 
 import jax
 import jax.numpy as jnp
@@ -22,6 +31,7 @@ from cnmnet_tpu.ops import cost_volume as _cv_ops
 from cnmnet_tpu.ops import normals as _normal_ops
 
 _FORCED: str | None = None
+_LANE = 128
 
 
 @functools.cache
@@ -45,6 +55,59 @@ def set_backend(name: str | None) -> None:
     _FORCED = name
 
 
+def _import_kernel(module: str, symbol: str, explicit: bool):
+    """Import a Pallas kernel; raise on failure iff explicitly requested."""
+    try:
+        mod = __import__(f"cnmnet_tpu.kernels.{module}", fromlist=[symbol])
+        return getattr(mod, symbol)
+    except (ImportError, AttributeError) as e:
+        if explicit:
+            raise ImportError(
+                f"backend 'pallas' was requested but "
+                f"cnmnet_tpu.kernels.{module}.{symbol} failed to load: {e}"
+            ) from e
+        _warn_fallback(f"{module}.{symbol} failed to load ({e})")
+        return None
+
+
+@functools.cache
+def _warn_fallback(reason: str) -> None:  # once per distinct reason
+    if _default_backend() == "pallas":
+        warnings.warn(
+            f"falling back to the jnp implementation on TPU: {reason}. "
+            "The jnp gather path compiles slowly on TPU — fix the kernel or "
+            "pass backend='jnp' to silence.",
+            RuntimeWarning,
+            stacklevel=3,
+        )
+
+
+def cost_volume_shapes_supported(H: int, W: int, num_planes: int) -> bool:
+    """Shape contract of kernels/cost_volume_pallas.py."""
+    return W % _LANE == 0 and H % 8 == 0 and num_planes % 8 == 0
+
+
+def normal_shapes_supported(H: int, W: int, k_size: int) -> bool:
+    """Shape contract of kernels/normals_pallas.py."""
+    return W % _LANE == 0 and H % 8 == 0 and k_size % 2 == 1
+
+
+def _resolve(backend, supported: bool, what: str) -> str:
+    """Pick the implementation honoring the selection policy."""
+    explicit = backend is not None or _FORCED is not None
+    b = backend or get_backend()
+    if b == "pallas" and not supported:
+        if explicit:
+            raise ValueError(
+                f"backend 'pallas' was requested but the {what} kernel does "
+                "not support these shapes (needs W % 128 == 0, H % 8 == 0"
+                + (", P % 8 == 0)" if what == "cost_volume" else ", odd k)")
+            )
+        _warn_fallback(f"{what}: unsupported shapes")
+        return "jnp"
+    return b
+
+
 def cost_volume(ref_images, src_images, ref_cam, src_cam, idepth_scale=3.0,
                 num_planes=64, backend=None, sampling="exact"):
     """Batched plane-sweep cost volume ``[B, H, W, P]`` (see ops.cost_volume).
@@ -64,31 +127,38 @@ def cost_volume(ref_images, src_images, ref_cam, src_cam, idepth_scale=3.0,
         src_cam = src_cam._replace(intrinsic=src_cam.intrinsic * s)
     elif sampling != "exact":
         raise ValueError(f"unknown sampling convention {sampling!r}")
-    b = backend or get_backend()
-    if b == "pallas":
-        try:
-            from cnmnet_tpu.kernels.cost_volume_pallas import (
-                cost_volume_pallas,
-            )
 
-            return cost_volume_pallas(
-                ref_images, src_images, ref_cam, src_cam, idepth_scale, num_planes
-            )
-        except ImportError:
-            pass
+    explicit = backend is not None or _FORCED is not None
+    H, W = ref_images.shape[1], ref_images.shape[2]
+    b = _resolve(backend, cost_volume_shapes_supported(H, W, num_planes),
+                 "cost_volume")
+    if b == "pallas":
+        fn = _import_kernel("cost_volume_pallas", "cost_volume_pallas", explicit)
+        if fn is not None:
+            return fn(ref_images, src_images, ref_cam, src_cam, idepth_scale,
+                      num_planes)
     return _cv_ops.cost_volume_from_cameras(
         ref_images, src_images, ref_cam, src_cam, idepth_scale, num_planes
     )
 
 
 def depth_to_normal(depth, intrinsics_inv, k_size=9, backend=None):
-    """Depth -> unit normals ``[B, H, W, 3]`` (+ points; see ops.normals)."""
-    b = backend or get_backend()
-    if b == "pallas":
-        try:
-            from cnmnet_tpu.kernels.normals_pallas import depth_to_normal_pallas
+    """Depth -> unit normals ``[B, H, W, 3]`` (+ points; see ops.normals).
 
-            return depth_to_normal_pallas(depth, intrinsics_inv, k_size)
-        except ImportError:
-            pass
+    Auto mode picks **jnp** even on TPU: the conv-based jnp formulation is
+    faster than the fused Pallas kernel there (measured on v5e @ 192x256/k9:
+    jnp 0.10 ms vs Pallas 1.38 ms at B=16 — XLA fuses the monomials into
+    MXU-efficient depthwise convs, while the kernel's unaligned stencil
+    shifts cost sublane/lane relayouts; tools/bench_normals.py). The kernel
+    remains available via backend="pallas" / set_backend.
+    """
+    explicit = backend is not None or _FORCED is not None
+    if not explicit:
+        return _normal_ops.depth_to_normal(depth, intrinsics_inv, k_size)
+    H, W = depth.shape[1], depth.shape[2]
+    b = _resolve(backend, normal_shapes_supported(H, W, k_size), "depth_to_normal")
+    if b == "pallas":
+        fn = _import_kernel("normals_pallas", "depth_to_normal_pallas", explicit)
+        if fn is not None:
+            return fn(depth, intrinsics_inv, k_size)
     return _normal_ops.depth_to_normal(depth, intrinsics_inv, k_size)
