@@ -194,7 +194,7 @@ def cmd_eval(args) -> int:
         state = mgr.restore(args.checkpoint, state)
     variables = {"params": state.params, "batch_stats": state.batch_stats}
 
-    forward = make_eval_forward(model, variables)
+    forward = make_eval_forward(model, variables, k_size=cfg.model.k_size)
     result = evaluate_seven_scenes(
         forward,
         cfg.dataset.root_dir,

@@ -35,7 +35,10 @@ def evaluate_scannet(
         sample = dataset[i]
         images = np.asarray(sample["images"])[None]
         cams = np.asarray(sample["cams"])[None]
-        idepth = jax.block_until_ready(forward_fn(images, cams))
+        out = jax.block_until_ready(forward_fn(images, cams))
+        # accept both the bare-idepth and the (idepth, prob, normal)
+        # contract of make_eval_forward
+        idepth = out[0] if isinstance(out, tuple) else out
         pred_depth = 1.0 / (np.asarray(idepth)[0, :, :, 0] + 1e-8)
         gt_depth = np.asarray(sample["depths"][0])
 

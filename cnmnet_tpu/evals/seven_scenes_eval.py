@@ -32,11 +32,17 @@ from cnmnet_tpu.data.seven_scenes import SevenScenes
 from cnmnet_tpu.ops import metrics as M
 
 EVAL_PROTOCOLS = {
-    # num_sources: (frame stride, source offsets in reference order)
-    1: dict(stride=10, offsets=(10,)),
-    2: dict(stride=3, offsets=(10, -10)),
-    4: dict(stride=3, offsets=(10, -10, 5, -5)),
-    6: dict(stride=3, offsets=(10, -10, 5, -5, 20, -20)),
+    # num_sources: frame stride, source offsets in reference order, and the
+    # reference's EXACT loop bounds (`eval.py:239,408,581,817`): the frame
+    # census is part of metric parity. Quirks preserved deliberately:
+    # the 5-view command reuses the 7-view's end margin (len-20 although its
+    # max forward offset is 10), and the 7-view's start of 10 < its max
+    # backward offset 20, so indices 12/15/18 read filepaths[index-20] < 0 —
+    # Python wraps that to the sequence END, and so do we (list indexing).
+    1: dict(stride=10, offsets=(10,), start=0, end_margin=10),
+    2: dict(stride=3, offsets=(10, -10), start=10, end_margin=10),
+    4: dict(stride=3, offsets=(10, -10, 5, -5), start=10, end_margin=20),
+    6: dict(stride=3, offsets=(10, -10, 5, -5, 20, -20), start=10, end_margin=20),
 }
 
 
@@ -67,6 +73,55 @@ def _frame_metrics(pred_depth: np.ndarray, gt_depth: np.ndarray,
     pred = np.clip(pred, min_depth, max_depth)
     mask = M.compute_valid_depth_mask(gt_depth, min_thred=min_depth, max_thred=max_depth)
     return M.compute_errors(pred[mask], gt_depth[mask])
+
+
+def _save_frame_artifacts(save_dir, p, idepth, prob_map, normal):
+    """Per-frame artifact dumps, layout + content parity with the
+    reference (`eval.py:394-404,461-510`): five directories per sequence,
+    each frame saved as raw npy plus a colorized png."""
+    from PIL import Image
+
+    from cnmnet_tpu.data.pipeline import denormalize_images
+    from cnmnet_tpu.obs.colorize import (
+        colorize_depth,
+        colorize_prob,
+        normal_to_color,
+    )
+
+    base = os.path.join(save_dir, p["scene"], p["seq"])
+    dirs = {}
+    for kind in ("rgb", "gt_depth", "pred_depth", "pred_normal", "prob_map"):
+        dirs[kind] = os.path.join(base, kind)
+        os.makedirs(dirs[kind], exist_ok=True)
+    name = p["name"]
+
+    def save_png(kind, suffix, img_uint8):
+        Image.fromarray(img_uint8).save(
+            os.path.join(dirs[kind], f"{name}.{suffix}.png")
+        )
+
+    def save_npy(kind, suffix, arr):
+        np.save(os.path.join(dirs[kind], f"{name}.{suffix}.npy"), arr)
+
+    rgb = denormalize_images(p["images"][0])
+    save_png("rgb", "color", (np.clip(rgb, 0, 1) * 255).astype(np.uint8))
+
+    save_npy("gt_depth", "gt_depth", p["gt_depth"])
+    save_png("gt_depth", "gt_depth", colorize_depth(p["gt_depth"]))
+
+    # the reference's artifact conversion (`eval.py:490-492`):
+    # depth = 1/(idepth + 1e-4), > 100 m zeroed
+    pred_depth = np.reciprocal(idepth + 1e-4)
+    pred_depth = np.where(pred_depth > 100.0, 0.0, pred_depth)
+    save_npy("pred_depth", "pred_depth", pred_depth)
+    save_png("pred_depth", "pred_depth", colorize_depth(pred_depth))
+
+    if normal is not None:
+        save_npy("pred_normal", "pred_normal", normal)
+        save_png("pred_normal", "pred_normal", normal_to_color(normal))
+    if prob_map is not None:
+        save_npy("prob_map", "prob_map", prob_map)
+        save_png("prob_map", "prob_map", colorize_prob(prob_map))
 
 
 def evaluate_seven_scenes(
@@ -122,28 +177,27 @@ def evaluate_seven_scenes(
             images = jax.device_put(images, sh)
             cams = jax.device_put(cams, sh)
         t0 = time.monotonic()
-        idepth = jax.block_until_ready(forward_fn(images, cams))
+        out = jax.block_until_ready(forward_fn(images, cams))
         total_time += time.monotonic() - t0
         count += n
+        idepth, prob_map, normal = (np.asarray(o) if o is not None else None
+                                    for o in out)
         for i, p in enumerate(pending):
-            pred_depth = 1.0 / (np.asarray(idepth)[i, :, :, 0] + 1e-8)
+            pred_depth = 1.0 / (idepth[i, :, :, 0] + 1e-8)
             per_frame.append(_frame_metrics(pred_depth, p["gt_depth"]))
             if save_dir:
-                d = os.path.join(save_dir, p["scene"], p["seq"], "pred_depth")
-                os.makedirs(d, exist_ok=True)
-                np.save(
-                    os.path.join(d, p["name"] + ".pred_depth.npy"), pred_depth
+                _save_frame_artifacts(
+                    save_dir, p, idepth[i, :, :, 0],
+                    prob_map[i, :, :, 0] if prob_map is not None else None,
+                    normal[i] if normal is not None else None,
                 )
         pending.clear()
 
     for scene, seq in (seqs or ds.test_seqs_list):
         paths = ds.frame_paths(scene, seq)
-        max_off = max(abs(o) for o in proto["offsets"])
         done = 0
-        for index in range(0, len(paths) - max_off, 1):
+        for index in range(proto["start"], len(paths) - proto["end_margin"], 1):
             if index % proto["stride"] != 0:
-                continue
-            if index - max_off < 0:
                 continue
             if max_frames_per_seq and done >= max_frames_per_seq:
                 break
@@ -183,19 +237,32 @@ def evaluate_seven_scenes(
     return result
 
 
-def make_eval_forward(model, variables):
+def make_eval_forward(model, variables, k_size: int = 9):
     """Build the jitted eval forward for any view count.
 
-    Returns fn(images, cams) -> idepth [1, h, w, 1] (refined if V > 2).
+    Returns ``fn(images, cams) -> (idepth [B, h, w, 1], prob_map | None,
+    normal [B, h, w, 3])`` — idepth is the refined map when V > 2, the
+    single-pair disp1 when V == 2; normals follow the reference's eval-time
+    ``depth2normal(1/idepth, K^-1)`` (`eval.py:449-455`).
     """
     import jax
     import jax.numpy as jnp
 
+    from cnmnet_tpu.geometry.camera import invert_intrinsics
+    from cnmnet_tpu.kernels import dispatch
+
     @jax.jit
     def fn(images, cams):
-        out = model.apply(variables, jnp.asarray(images), jnp.asarray(cams), train=False)
+        out = model.apply(
+            variables, jnp.asarray(images), jnp.asarray(cams), train=False
+        )
         if out.idepth_refined is not None:
-            return out.idepth_refined
-        return out.disps[0][:, 0]
+            idepth, prob = out.idepth_refined, out.prob_map
+        else:
+            idepth, prob = out.disps[0][:, 0], None
+        depth = 1.0 / (idepth[..., 0] + 1e-8)
+        K_inv = invert_intrinsics(cams[:, 0, 1, :3, :3])
+        normal, _ = dispatch.depth_to_normal(depth, K_inv, k_size)
+        return idepth, prob, normal
 
     return fn

@@ -39,6 +39,21 @@ def mock_seven_scenes(tmp_path_factory):
     return str(root)
 
 
+def _fwd(value_fn):
+    """Wrap a per-batch idepth producer into the (idepth, prob, normal)
+    forward contract of make_eval_forward."""
+
+    def fn(images, cams):
+        import jax.numpy as jnp
+
+        idepth = value_fn(images, cams)
+        B, h, w, _ = idepth.shape
+        normal = jnp.zeros((B, h, w, 3)).at[..., 2].set(1.0)
+        return idepth, jnp.full((B, h, w, 1), 0.5), normal
+
+    return fn
+
+
 class TestProtocols:
     def test_protocol_table(self):
         assert EVAL_PROTOCOLS[1]["stride"] == 10
@@ -64,7 +79,7 @@ class TestHarness:
             return jnp.full((B, h, w, 1), 1.0 / 2.5)
 
         result = evaluate_seven_scenes(
-            oracle,
+            _fwd(oracle),
             mock_seven_scenes,
             num_sources=2,
             image_height=48,
@@ -85,7 +100,7 @@ class TestHarness:
             return jnp.full((B, h, w, 1), 1.0 / 3.0)  # 20% off
 
         result = evaluate_seven_scenes(
-            biased,
+            _fwd(biased),
             mock_seven_scenes,
             num_sources=2,
             image_height=48,
@@ -114,9 +129,9 @@ class TestHarness:
             num_sources=2, image_height=48, image_width=64,
             max_frames_per_seq=5, seqs=[("chess", "seq-03")],
         )
-        serial = evaluate_seven_scenes(oracle, mock_seven_scenes, **kw)
+        serial = evaluate_seven_scenes(_fwd(oracle), mock_seven_scenes, **kw)
         batched = evaluate_seven_scenes(
-            oracle, mock_seven_scenes, frame_batch=4, **kw
+            _fwd(oracle), mock_seven_scenes, frame_batch=4, **kw
         )
         assert batched["frames"] == serial["frames"]
         for k in ("abs_rel", "rmse", "a1"):
@@ -130,7 +145,7 @@ class TestHarness:
             return jnp.full((B, h, w, 1), 0.4)
 
         evaluate_seven_scenes(
-            oracle,
+            _fwd(oracle),
             mock_seven_scenes,
             num_sources=2,
             image_height=48,
@@ -143,3 +158,70 @@ class TestHarness:
         assert len(saved) == 1
         arr = np.load(saved[0])
         assert arr.shape == (48, 64)
+        # reference's artifact conversion: 1/(idepth+1e-4), >100 m zeroed
+        assert arr == pytest.approx(1.0 / (0.4 + 1e-4))
+
+    def test_artifact_layout_parity(self, mock_seven_scenes, tmp_path):
+        """The five per-frame artifact families of `eval.py:394-404,461-510`:
+        rgb/gt_depth/pred_depth/pred_normal/prob_map, each npy + png."""
+
+        def oracle(images, cams):
+            import jax.numpy as jnp
+
+            B, V, h, w, _ = images.shape
+            return jnp.full((B, h, w, 1), 0.4)
+
+        evaluate_seven_scenes(
+            _fwd(oracle),
+            mock_seven_scenes,
+            num_sources=2,
+            image_height=48,
+            image_width=64,
+            max_frames_per_seq=1,
+            seqs=[("chess", "seq-03")],
+            save_dir=str(tmp_path),
+        )
+        base = tmp_path / "chess" / "seq-03"
+        assert sorted(os.listdir(base)) == [
+            "gt_depth", "pred_depth", "pred_normal", "prob_map", "rgb",
+        ]
+        name = "frame-000012"  # first 3-view frame (census starts at 10)
+        assert (base / "rgb" / f"{name}.color.png").exists()
+        for kind in ("gt_depth", "pred_depth", "pred_normal", "prob_map"):
+            assert (base / kind / f"{name}.{kind}.png").exists()
+            assert (base / kind / f"{name}.{kind}.npy").exists()
+        normal = np.load(base / "pred_normal" / f"{name}.pred_normal.npy")
+        assert normal.shape == (48, 64, 3)
+
+    def test_frame_census_parity(self, mock_seven_scenes):
+        """Census parity with the reference loops (`eval.py:239,408`):
+        40-frame sequence -> 2-view visits 0,10,20 (3 frames — index 0
+        included, the round-1 deviation); 3-view visits 12..27 step 3
+        (6 frames)."""
+
+        def oracle(images, cams):
+            import jax.numpy as jnp
+
+            B, V, h, w, _ = images.shape
+            return jnp.full((B, h, w, 1), 1.0 / 2.5)
+
+        kw = dict(image_height=48, image_width=64, seqs=[("chess", "seq-03")])
+        two = evaluate_seven_scenes(
+            _fwd(oracle), mock_seven_scenes, num_sources=1, **kw
+        )
+        assert two["frames"] == 3
+        three = evaluate_seven_scenes(
+            _fwd(oracle), mock_seven_scenes, num_sources=2, **kw
+        )
+        assert three["frames"] == 6
+        # 5/7-view: range(10, 40-20) step 3 -> 12,15,18 (7-view's -20
+        # source wraps to the sequence end exactly as the reference's
+        # negative list index does)
+        five = evaluate_seven_scenes(
+            _fwd(oracle), mock_seven_scenes, num_sources=4, **kw
+        )
+        assert five["frames"] == 3
+        seven = evaluate_seven_scenes(
+            _fwd(oracle), mock_seven_scenes, num_sources=6, **kw
+        )
+        assert seven["frames"] == 3
