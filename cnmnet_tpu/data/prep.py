@@ -78,7 +78,23 @@ def make_camera_files(
     return count
 
 
-def _frame_valid(root: str, scene: str, frame_id: int, require_planes: bool) -> bool:
+def _frame_valid(
+    root: str,
+    scene: str,
+    frame_id: int,
+    require_planes: bool,
+    error_threshold: Optional[float] = None,
+    check_normals: bool = False,
+) -> bool:
+    """One frame's validity under the reference's annotation-quality gates.
+
+    Mirrors ``is_valid`` (`scannet/make_list.py:38-122`): readable rgb + cam
+    with finite pose, and — behind flags — the plane-fit-error threshold
+    (``planercnn_error_003/<id>.npy`` dict's ``error`` field), NaN-free
+    ``normal/<id>.mat`` (nx/ny/nz), at least one plane label in the seg png,
+    and nonempty plane params. Any unreadable gated file rejects the frame,
+    exactly as the reference's bare try/excepts do.
+    """
     sdir = os.path.join(root, scene)
     rgb = os.path.join(sdir, "rgb", f"{frame_id}.jpg")
     cam = os.path.join(sdir, "cameras", f"{frame_id}_cam.txt")
@@ -91,10 +107,39 @@ def _frame_valid(root: str, scene: str, frame_id: int, require_planes: bool) -> 
             return False
     except (ValueError, OSError):
         return False
+    if error_threshold is not None:
+        err_path = os.path.join(sdir, "planercnn_error_003", f"{frame_id}.npy")
+        try:
+            error = np.load(err_path, allow_pickle=True)[()]["error"]
+        except Exception:
+            return False
+        if not np.isfinite(error) or error > error_threshold:
+            return False
+    if check_normals:
+        mat_path = os.path.join(sdir, "normal", f"{frame_id}.mat")
+        try:
+            import scipy.io
+
+            normal = scipy.io.loadmat(mat_path)
+            for key in ("nx", "ny", "nz"):
+                if np.any(np.isnan(normal[key])):
+                    return False
+        except Exception:
+            return False
     if require_planes:
         seg = os.path.join(sdir, "planercnn_seg_003", f"{frame_id}.png")
         para = os.path.join(sdir, "planercnn_para_003", f"{frame_id}.npy")
         if not (os.path.exists(seg) and os.path.exists(para)):
+            return False
+        if cv2 is not None:
+            seg_img = cv2.imread(seg, -1)
+            # `make_list.py:108-112`: a single unique label = no planes
+            if seg_img is None or len(np.unique(seg_img)) == 1:
+                return False
+        try:
+            if len(np.load(para)) == 0:
+                return False
+        except Exception:
             return False
     return True
 
@@ -128,8 +173,20 @@ def make_train_list(
     require_planes: bool = True,
     scenes: Optional[List[str]] = None,
     num_workers: int = 8,
+    error_threshold: Optional[float] = None,
+    check_normals: bool = False,
 ) -> int:
-    """Emit (scene_id, frame_id) lines for frames with a valid view window."""
+    """Emit (scene_id, frame_id) lines for frames with a valid view window.
+
+    ``error_threshold`` / ``check_normals`` enable the reference's
+    annotation-quality gates (`scannet/make_list.py:38-122`, default
+    error_thred 0.7) on EVERY frame of the window, as the reference applies
+    ``is_valid`` to the reference view and all source views alike
+    (`make_list.py:148-167`). Plane presence (seg labels / nonempty params)
+    is gated on the reference frame only — the training recipe consumes
+    plane annotations for that frame alone (deviation from the reference,
+    which requires them on source views it never reads).
+    """
     if scenes is None:
         scenes = sorted(
             d for d in os.listdir(root_dir)
@@ -151,7 +208,11 @@ def make_train_list(
                 continue
             window = [fid + interval * (v - view_num // 2) for v in range(view_num)]
             if not all(
-                _frame_valid(root_dir, scene, w, require_planes and w == fid)
+                _frame_valid(
+                    root_dir, scene, w, require_planes and w == fid,
+                    error_threshold=error_threshold,
+                    check_normals=check_normals,
+                )
                 for w in window
             ):
                 continue

@@ -114,6 +114,86 @@ def compute_errors(pred: np.ndarray, gt: np.ndarray) -> Dict[str, float]:
     }
 
 
+def compute_depth_scale_factor(
+    depth1: np.ndarray, depth2: np.ndarray, depth_scaling: str = "abs"
+) -> float:
+    """LSQ scale for depth1 minimizing error to depth2.
+
+    Reference `utils/metric.py:407-445`; three alignment spaces:
+    ``abs``  — minimize MSE on depth:      s = Σd1·d2 / Σd1²
+    ``log``  — minimize MSE on log depth:  s = exp(mean(log d2 − log d1))
+    ``inv``  — minimize MSE on 1/depth:    s = (Σ(1/d1)² ) / (Σ(1/d1)(1/d2))
+    ``abs``/``inv`` sums run over the valid mask of the product term, as in
+    the reference; inputs must be finite and positive (asserted there too).
+    """
+    depth1, depth2 = np.asarray(depth1), np.asarray(depth2)
+    assert np.all(
+        np.isfinite(depth1) & np.isfinite(depth2) & (depth1 > 0) & (depth2 > 0)
+    ), "compute_depth_scale_factor expects finite positive depths"
+
+    if depth_scaling == "abs":
+        d1d1 = depth1 * depth1
+        d1d2 = depth1 * depth2
+        mask = compute_valid_depth_mask(d1d2)
+        sum_d1d1 = float(np.sum(d1d1[mask]))
+        return float(np.sum(d1d2[mask]) / sum_d1d1) if sum_d1d1 > 0 else 1.0
+    if depth_scaling == "log":
+        return float(np.exp(np.mean(np.log(depth2) - np.log(depth1))))
+    if depth_scaling == "inv":
+        i1, i2 = np.reciprocal(depth1), np.reciprocal(depth2)
+        d1d1 = i1 * i1
+        d1d2 = i1 * i2
+        mask = compute_valid_depth_mask(d1d2)
+        sum_d1d2 = float(np.sum(d1d2[mask]))
+        if float(np.sum(d1d1[mask])) > 0 and sum_d1d2 != 0.0:
+            return float(np.sum(d1d1[mask]) / sum_d1d2)
+        return 1.0
+    raise ValueError(f"unknown depth_scaling {depth_scaling!r}")
+
+
+def evaluate_depth(
+    translation_gt: np.ndarray,
+    depth_gt: np.ndarray,
+    depth_pred: np.ndarray,
+    inverse_gt: bool = True,
+    inverse_pred: bool = True,
+    depth_scaling: str = "abs",
+):
+    """Errors without and with LSQ scale alignment of the prediction.
+
+    Reference `utils/metric.py:448-497`: mask both maps jointly, optionally
+    invert (the reference evaluates *inverse*-depth buffers by default), and
+    if the GT translation is not unit-norm divide GT by its norm (pose-scale
+    normalization for scale-ambiguous baselines). Returns
+    ``(errors, errors_after_scaling)`` — each the 9-metric dict of
+    :func:`compute_errors`.
+    """
+    translation_gt = np.asarray(translation_gt, np.float64)
+    valid = compute_valid_depth_mask(depth_pred, depth_gt)
+    pred = np.asarray(depth_pred)[valid]
+    gt = np.asarray(depth_gt)[valid]
+    if inverse_gt:
+        gt = np.reciprocal(gt)
+    if inverse_pred:
+        pred = np.reciprocal(pred)
+
+    t_norm = float(np.sqrt(translation_gt.dot(translation_gt)))
+    if not np.isclose(1.0, t_norm):
+        gt = gt / t_norm
+
+    def _masked_errors(p, g):
+        # the reference's compute_errors re-masks its inputs
+        # (`utils/metric.py:378-381`), so out-of-range inverted or scaled
+        # values drop out of each error computation independently
+        m = compute_valid_depth_mask(p, g)
+        return compute_errors(p[m], g[m])
+
+    errs = _masked_errors(pred, gt)
+    scale = compute_depth_scale_factor(pred, gt, depth_scaling=depth_scaling)
+    errs_scaled = _masked_errors(pred * scale, gt)
+    return errs, errs_scaled
+
+
 def compute_all_jnp(
     pred: jnp.ndarray,
     gt: jnp.ndarray,

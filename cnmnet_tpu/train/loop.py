@@ -172,6 +172,9 @@ def train_loop(
     global_step = int(state.step)
     nan_streak = 0  # failure detection: the reference just crashes
     # (`dataloader_batch.py:108-124` exit(1)); we halt with a checkpoint.
+    prev_loss = None  # watchdog reads the PREVIOUS step's loss: by the time
+    # the next step has been dispatched that scalar is materialized, so the
+    # check never stalls the pipeline — and it runs every step, logger or not.
 
     try:
         for epoch in range(start_epoch, cfg.train.num_epochs):
@@ -183,6 +186,16 @@ def train_loop(
                 state, metrics = step_fn(state, batch)
                 global_step += 1
                 viz = metrics.pop("viz", None)
+                if prev_loss is not None:
+                    nan_streak = (
+                        nan_streak + 1 if not np.isfinite(float(prev_loss)) else 0
+                    )
+                    if nan_streak >= 3:
+                        raise FloatingPointError(
+                            f"loss non-finite for {nan_streak} consecutive "
+                            f"steps at step {global_step}"
+                        )
+                prev_loss = metrics["loss"]
                 if max_steps and global_step >= max_steps:
                     return state
                 if logger is not None and it % cfg.train.print_interval == 0:
@@ -191,14 +204,6 @@ def train_loop(
                     logger.log_scalars(global_step, scalars, prefix=f"epoch {epoch}")
                     if viz is not None and it % (cfg.train.print_interval * 10) == 0:
                         _log_images(logger, global_step, batch, viz)
-                    nan_streak = (
-                        nan_streak + 1 if not np.isfinite(scalars["loss"]) else 0
-                    )
-                    if nan_streak >= 3:
-                        raise FloatingPointError(
-                            f"loss non-finite for {nan_streak} consecutive "
-                            f"logged steps at step {global_step}"
-                        )
             if checkpointer is not None:
                 checkpointer.save(state, step=global_step)
     except (KeyboardInterrupt, FloatingPointError):

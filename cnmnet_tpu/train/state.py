@@ -26,13 +26,40 @@ class CNMTrainState(train_state.TrainState):
     epoch: jnp.ndarray = struct.field(default=None)
 
 
+def add_decayed_weights_active(weight_decay: float) -> optax.GradientTransformation:
+    """Torch-style L2 decay, masked per-leaf to leaves that received any
+    nonzero gradient this step.
+
+    Fixes the staged-training interaction the reference shares
+    (`train.py:89` puts every parameter in one optimizer): a module excluded
+    from the forward (e.g. the RefineNet during DepthNet-only pretraining
+    on 2-view batches) has an exactly-zero gradient, and plain
+    ``add_decayed_weights`` would still shrink it away from its
+    initialization every step. Gating on ``any(g != 0)`` leaves genuinely
+    trained leaves untouched (their gradients are never identically zero
+    over a whole tensor) while keeping frozen leaves bit-identical.
+    """
+
+    def update_fn(updates, state, params):
+        if params is None:
+            raise ValueError("add_decayed_weights_active requires params")
+
+        def leaf(u, p):
+            active = jnp.any(u != 0).astype(p.dtype)
+            return u + weight_decay * active * p
+
+        return jax.tree.map(leaf, updates, params), state
+
+    return optax.GradientTransformation(lambda _: optax.EmptyState(), update_fn)
+
+
 def make_optimizer(cfg: Config) -> optax.GradientTransformation:
     s = cfg.solver
     txs = []
     if s.grad_clip_norm:
         txs.append(optax.clip_by_global_norm(s.grad_clip_norm))
     if s.weight_decay:
-        txs.append(optax.add_decayed_weights(s.weight_decay))
+        txs.append(add_decayed_weights_active(s.weight_decay))
     lr: Any = s.lr
     if s.warmup_steps:
         lr = optax.linear_schedule(0.0, s.lr, s.warmup_steps)

@@ -220,3 +220,64 @@ class TestPrepTools:
         # only fid=10 and 20 have both +-10 neighbors
         assert n == 2
         assert out.read_text().split() == ["scene0000_00", "10", "scene0000_00", "20"]
+
+    def test_train_list_quality_gates(self, tmp_path):
+        """The reference's annotation-quality gates (`scannet/make_list.py:
+        38-122`): plane-fit-error threshold, NaN normal mats, single-label
+        segs, and empty plane params each reject a frame's whole window."""
+        from cnmnet_tpu.data.prep import make_train_list
+
+        try:
+            import cv2
+            import scipy.io
+        except ImportError:
+            pytest.skip("cv2+scipy required")
+        root = tmp_path
+        scene = root / "scene0000_00"
+        for sub in ("rgb", "depth", "cameras", "planercnn_seg_003",
+                    "planercnn_para_003", "planercnn_error_003", "normal"):
+            (scene / sub).mkdir(parents=True)
+        E = np.eye(4)
+        K = np.asarray([[100.0, 0, 32], [0, 100.0, 24], [0, 0, 1]])
+        good_normal = dict(
+            nx=np.zeros((8, 8)), ny=np.zeros((8, 8)), nz=np.ones((8, 8))
+        )
+        seg = np.zeros((48, 64), np.uint8)
+        seg[:16] = 1  # two labels -> has planes
+        for fid in range(0, 80, 10):
+            cv2.imwrite(str(scene / "rgb" / f"{fid}.jpg"),
+                        np.full((48, 64, 3), 128, np.uint8))
+            cv2.imwrite(str(scene / "depth" / f"{fid}.png"),
+                        np.full((48, 64), 2000, np.uint16))
+            (scene / "cameras" / f"{fid}_cam.txt").write_text(write_cam_text(E, K))
+            cv2.imwrite(str(scene / "planercnn_seg_003" / f"{fid}.png"), seg)
+            np.save(scene / "planercnn_para_003" / f"{fid}.npy",
+                    np.asarray([[0.0, 0.0, 2.0]]))
+            np.save(scene / "planercnn_error_003" / f"{fid}.npy",
+                    {"error": 0.05})
+            scipy.io.savemat(scene / "normal" / f"{fid}.mat", good_normal)
+
+        kw = dict(interval=10, view_num=3, frame_stride=5,
+                  error_threshold=0.7, check_normals=True)
+        out = root / "list.txt"
+        assert make_train_list(str(root), str(out), **kw) == 6  # fids 10..60
+
+        # plane-fit error above threshold on a SOURCE view kills the window
+        np.save(scene / "planercnn_error_003" / "20.npy", {"error": 0.9})
+        assert make_train_list(str(root), str(out), **kw) == 3  # 40,50,60 left
+
+        # NaN normal on a source view (70) kills the window of ref 60
+        bad = dict(good_normal)
+        bad["ny"] = np.full((8, 8), np.nan)
+        scipy.io.savemat(scene / "normal" / "70.mat", bad)
+        assert make_train_list(str(root), str(out), **kw) == 2  # 40, 50
+
+        # single-label seg (no planes) rejects a reference frame
+        cv2.imwrite(str(scene / "planercnn_seg_003" / "50.png"),
+                    np.zeros((48, 64), np.uint8))
+        assert make_train_list(str(root), str(out), **kw) == 1  # 40
+        assert out.read_text().split() == ["scene0000_00", "40"]
+
+        # empty plane params reject too
+        np.save(scene / "planercnn_para_003" / "40.npy", np.zeros((0, 3)))
+        assert make_train_list(str(root), str(out), **kw) == 0
