@@ -141,11 +141,16 @@ def cmd_train(args) -> int:
             image_width=cfg.dataset.image_width,
             max_planes=cfg.dataset.max_planes,
         )
+        # Multi-host data parallelism: each host loads a disjoint shard of
+        # the epoch's index stream (same shuffle seed everywhere -> a
+        # consistent global partition). batch_size stays host-local.
         loader = PrefetchLoader(
             ds,
             batch_size=cfg.dataset.batch_size,
             num_workers=cfg.dataset.num_workers,
             seed=cfg.train.seed,
+            shard_index=jax.process_index(),
+            shard_count=jax.process_count(),
         )
 
         def data_iter():

@@ -50,7 +50,16 @@ class PrefetchLoader:
         drop_last: bool = True,
         prefetch: int = 2,
         transform: Callable[[Dict], Dict] | None = None,
+        shard_index: int = 0,
+        shard_count: int = 1,
     ):
+        """``shard_index``/``shard_count`` partition the index stream
+        disjointly across hosts (multi-host data parallelism): every host
+        shuffles the full epoch with the same seed, then keeps the strided
+        slice ``order[shard_index::shard_count]``. ``batch_size`` is the
+        HOST-LOCAL batch; the global batch is ``batch_size * shard_count``.
+        """
+        assert 0 <= shard_index < shard_count, (shard_index, shard_count)
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -59,20 +68,30 @@ class PrefetchLoader:
         self.drop_last = drop_last
         self.prefetch = prefetch
         self.transform = transform
+        self.shard_index = shard_index
+        self.shard_count = shard_count
         self._epoch = 0
 
-    def __len__(self):
+    def _shard_len(self):
         n = len(self.dataset)
+        return n // self.shard_count + (
+            self.shard_index < n % self.shard_count
+        )
+
+    def __len__(self):
+        n = self._shard_len()
         if self.drop_last:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
     def _index_batches(self) -> List[List[int]]:
-        n = len(self.dataset)
-        order = np.arange(n)
+        order = np.arange(len(self.dataset))
         if self.shuffle:
             rng = np.random.default_rng(self.seed + self._epoch)
             rng.shuffle(order)
+        if self.shard_count > 1:
+            order = order[self.shard_index :: self.shard_count]
+        n = len(order)
         batches = []
         for start in range(0, n, self.batch_size):
             idx = order[start : start + self.batch_size]

@@ -281,3 +281,47 @@ class TestPrepTools:
         # empty plane params reject too
         np.save(scene / "planercnn_para_003" / "40.npy", np.zeros((0, 3)))
         assert make_train_list(str(root), str(out), **kw) == 0
+
+
+class TestHostSharding:
+    """Multi-host input sharding: PrefetchLoader shard_index/shard_count."""
+
+    class Recorder:
+        def __init__(self, n):
+            self.n = n
+            self.seen = []
+
+        def __len__(self):
+            return self.n
+
+        def __getitem__(self, i):
+            self.seen.append(int(i))
+            return {"x": np.asarray([i], np.int64)}
+
+    def test_shards_partition_disjointly(self):
+        from cnmnet_tpu.data.pipeline import PrefetchLoader
+
+        n, hosts = 37, 3
+        all_seen = []
+        for h in range(hosts):
+            ds = self.Recorder(n)
+            loader = PrefetchLoader(
+                ds, batch_size=2, num_workers=1, seed=7,
+                shard_index=h, shard_count=hosts, drop_last=False,
+            )
+            batches = list(loader)
+            assert len(batches) == len(loader)
+            all_seen.append(set(ds.seen))
+        # disjoint across hosts, and jointly covering the whole epoch
+        assert all_seen[0] & all_seen[1] == set()
+        assert all_seen[0] & all_seen[2] == set()
+        assert all_seen[1] & all_seen[2] == set()
+        assert all_seen[0] | all_seen[1] | all_seen[2] == set(range(n))
+
+    def test_single_shard_default_unchanged(self):
+        from cnmnet_tpu.data.pipeline import PrefetchLoader
+
+        ds = self.Recorder(10)
+        loader = PrefetchLoader(ds, batch_size=2, num_workers=1, shuffle=False)
+        assert len(list(loader)) == 5
+        assert sorted(ds.seen) == list(range(10))
