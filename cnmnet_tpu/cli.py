@@ -40,6 +40,15 @@ def _parse(argv):
                    help="frames per batched forward (data-parallel inference)")
     e.add_argument("overrides", nargs="*")
 
+    es = sub.add_parser("eval-scannet", help="ScanNet test-set evaluation")
+    es.add_argument("--config", default=None)
+    es.add_argument("--checkpoint", default=None)
+    es.add_argument("--synthetic", action="store_true", help="procedural data")
+    es.add_argument("--planes", action="store_true",
+                    help="also run the per-plane PlaneNet metric suite")
+    es.add_argument("--max-samples", type=int, default=None)
+    es.add_argument("overrides", nargs="*")
+
     b = sub.add_parser("bench", help="single-chip throughput benchmark")
 
     pc = sub.add_parser("prep-cameras", help="ScanNet pose+K -> cameras/*_cam.txt")
@@ -215,6 +224,75 @@ def cmd_eval(args) -> int:
     return 0
 
 
+def cmd_eval_scannet(args) -> int:
+    cfg = _build_config(args)
+    import jax
+
+    from cnmnet_tpu.data.pipeline import collate, normalize_images
+    from cnmnet_tpu.data.synthetic import SyntheticScenes
+    from cnmnet_tpu.evals.scannet_eval import (
+        evaluate_scannet,
+        evaluate_scannet_planes,
+    )
+    from cnmnet_tpu.evals.seven_scenes_eval import make_eval_forward
+    from cnmnet_tpu.train.checkpoint import CheckpointManager
+    from cnmnet_tpu.train.state import build_model, create_train_state
+
+    model = build_model(cfg)
+    if args.synthetic:
+        ds = SyntheticScenes(
+            num_samples=cfg.dataset.synthetic_size,
+            height=cfg.dataset.image_height,
+            width=cfg.dataset.image_width,
+            view_num=cfg.dataset.view_num,
+            seed=cfg.train.seed,
+        )
+
+        class _Normalized:
+            def __len__(self):
+                return len(ds)
+
+            def __getitem__(self, i):
+                s = dict(ds[i])
+                s["images"] = normalize_images(s["images"])
+                return s
+
+        dataset = _Normalized()
+    else:
+        from cnmnet_tpu.data.scannet import ScanNetDataset
+
+        dataset = ScanNetDataset(
+            list_filepath=cfg.dataset.test_list_filepath
+            or cfg.dataset.list_filepath,
+            root_dir=cfg.dataset.root_dir,
+            view_num=cfg.dataset.view_num,
+            interval=cfg.dataset.interval,
+            depth_scale=cfg.dataset.depth_scale,
+            image_height=cfg.dataset.image_height,
+            image_width=cfg.dataset.image_width,
+            max_planes=cfg.dataset.max_planes,
+        )
+
+    batch = collate([dataset[0]])
+    state = create_train_state(cfg, jax.random.PRNGKey(0), batch)
+    if args.checkpoint:
+        mgr = CheckpointManager(cfg.train.checkpoint_dir)
+        state = mgr.restore(args.checkpoint, state)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    forward = make_eval_forward(model, variables, k_size=cfg.model.k_size)
+
+    result = evaluate_scannet(forward, dataset, max_samples=args.max_samples)
+    for k, v in result.items():
+        print(f"{k}: {v:.4f}")
+    if args.planes:
+        planes = evaluate_scannet_planes(
+            forward, dataset, max_samples=args.max_samples
+        )
+        for k, v in planes.items():
+            print(f"{k}: {v:.4f}")
+    return 0
+
+
 def cmd_bench(_args) -> int:
     import bench
 
@@ -257,6 +335,7 @@ def main(argv=None) -> int:
     return {
         "train": cmd_train,
         "eval": cmd_eval,
+        "eval-scannet": cmd_eval_scannet,
         "bench": cmd_bench,
         "prep-cameras": cmd_prep_cameras,
         "prep-planes": cmd_prep_planes,

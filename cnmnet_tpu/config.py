@@ -32,6 +32,7 @@ class DatasetConfig:
     root_dir: str = ""
     test_dir: str = ""
     list_filepath: str = ""
+    test_list_filepath: str = ""  # held-out list (reference test.txt)
     batch_size: int = 1
     num_workers: int = 4
     image_width: int = 256

@@ -225,3 +225,50 @@ class TestHarness:
             _fwd(oracle), mock_seven_scenes, num_sources=6, **kw
         )
         assert seven["frames"] == 3
+
+
+class TestScanNetPlaneEval:
+    def test_oracle_depth_maxes_recalls(self):
+        """Feeding GT depth as the prediction: induced planes coincide with
+        GT planes, so normal/depth recalls saturate and plane_rel ~ 0."""
+        import jax.numpy as jnp
+
+        from cnmnet_tpu.data.synthetic import SyntheticScenes
+        from cnmnet_tpu.evals.scannet_eval import evaluate_scannet_planes
+
+        ds = SyntheticScenes(num_samples=3, height=48, width=64, view_num=3)
+
+        def oracle(images, cams):
+            # look up the sample by matching depth is impossible here; the
+            # harness calls us per-index in order, so pop from a queue
+            s = oracle.queue.pop(0)
+            d = np.maximum(np.asarray(s["depths"][0]), 1e-3)
+            return jnp.asarray(1.0 / d)[None, ..., None]
+
+        oracle.queue = [ds[i] for i in range(3)]
+        result = evaluate_scannet_planes(oracle, ds, max_samples=3)
+        assert result["frames"] >= 1
+        assert result["plane_recall_normal_10deg"] > 0.9
+        assert result["pixel_recall_depth_10cm"] > 0.9
+        assert result["plane_rel"] < 0.02
+        assert result["plane_a1"] > 0.98
+
+    def test_biased_depth_fails_tight_thresholds(self):
+        import jax.numpy as jnp
+
+        from cnmnet_tpu.data.synthetic import SyntheticScenes
+        from cnmnet_tpu.evals.scannet_eval import evaluate_scannet_planes
+
+        ds = SyntheticScenes(num_samples=2, height=48, width=64, view_num=3)
+
+        def biased(images, cams):
+            s = biased.queue.pop(0)
+            d = np.maximum(np.asarray(s["depths"][0]), 1e-3) * 1.5
+            return jnp.asarray(1.0 / d)[None, ..., None]
+
+        biased.queue = [ds[i] for i in range(2)]
+        result = evaluate_scannet_planes(biased, ds, max_samples=2)
+        # scaled depth keeps normals (scaled plane is parallel) but breaks
+        # the depth-error recalls
+        assert result["pixel_recall_depth_10cm"] < 0.5
+        assert result["plane_rel"] > 0.3
