@@ -59,6 +59,20 @@ def load_reference_nets():
     import torch.nn.functional as F
 
     torch.cuda.FloatTensor = torch.FloatTensor  # type: ignore[attr-defined]
+    if not getattr(torch.Tensor, "_cpu_device_shim", False):
+        # The reference's warp helpers call `.to(depth.get_device())`
+        # (`inverse_warp.py:36-41`); on CPU torch get_device() is -1 and
+        # `.to(-1)` raises. Treat a negative device index as "stay put".
+        _orig_to = torch.Tensor.to
+
+        def _to(self, *args, **kwargs):
+            if args and isinstance(args[0], int) and args[0] < 0:
+                rest = args[1:]
+                return _orig_to(self, *rest, **kwargs) if (rest or kwargs) else self
+            return _orig_to(self, *args, **kwargs)
+
+        torch.Tensor.to = _to  # type: ignore[assignment]
+        torch.Tensor._cpu_device_shim = True  # type: ignore[attr-defined]
     if not hasattr(F, "_original_grid_sample"):
         F._original_grid_sample = F.grid_sample
 
