@@ -216,13 +216,29 @@ def cost_volume_pallas(
     """Batched plane-sweep cost volume, NHWC -> [B, H, W, P] fp32.
 
     Same contract as ops.cost_volume.cost_volume_from_cameras.
+
+    Arbitrary shapes: the kernel grid itself needs W % 128 == 0, H % 8 == 0
+    and P % 8 == 0; other shapes are zero-padded in and cropped out. This is
+    *exact*, not approximate: zero-padding the source is identical to the
+    zeros-mode sampling the kernel already implements (out-of-frustum taps
+    contribute 0 either way), padded ref rows/cols only produce cost rows
+    that are cropped, and padded planes extend the linear idepth ramp beyond
+    hypothesis P-1 (the ramp itself — idepth0/step — is computed from the
+    *requested* plane count, so the kept planes are unchanged).
     """
     B, H, W, C = ref_images.shape
-    assert W % _LANE == 0 and H % 8 == 0, (H, W)
-    assert num_planes % _PCHUNK == 0, num_planes
-    Hp = _round_up(H, _LANE)
-
+    H_out, W_out, P_out = H, W, num_planes
+    Wp_ = _round_up(W, _LANE)
+    H8 = _round_up(H, 8)
+    Pp = _round_up(num_planes, _PCHUNK)
     coef = _pack_coefs(ref_cam, src_cam, idepth_scale, num_planes)
+    if (Wp_, H8) != (W, H):
+        pad_hw = ((0, 0), (0, H8 - H), (0, Wp_ - W), (0, 0))
+        ref_images = jnp.pad(ref_images, pad_hw)
+        src_images = jnp.pad(src_images, pad_hw)
+        H, W = H8, Wp_
+    num_planes = Pp
+    Hp = _round_up(H, _LANE)
 
     ref_chw = jnp.transpose(ref_images, (0, 3, 1, 2)).astype(jnp.float32)
     src_t = jnp.transpose(src_images, (0, 3, 2, 1)).astype(jnp.float32)
@@ -248,4 +264,5 @@ def cost_volume_pallas(
         ),
         out_shape=jax.ShapeDtypeStruct((B, num_planes, H, W), jnp.float32),
     )(coef, ref_chw, src_t)
+    out = out[:, :P_out, :H_out, :W_out]
     return jax.lax.stop_gradient(jnp.transpose(out, (0, 2, 3, 1)))

@@ -10,8 +10,10 @@ Every hot op has two interchangeable implementations:
 Selection policy:
 
 * ``backend=None`` (auto): ``pallas`` on TPU **when the kernel supports the
-  shapes** (the kernels require W % 128 == 0 etc.), else ``jnp`` — with a
-  one-time warning on TPU, where the jnp gather path compiles poorly;
+  shapes** (the cost-volume kernel pads arbitrary shapes exactly but is
+  bounded by its VMEM working set; the normals kernel needs W % 128 == 0,
+  H % 8 == 0), else ``jnp`` — with a one-time warning on TPU, where the
+  jnp gather path compiles poorly;
 * ``backend="pallas"`` / ``"jnp"`` (explicit, per call or via
   ``set_backend``): exactly that implementation. A requested backend that
   cannot load or cannot handle the shapes **raises** — never a silent
@@ -82,9 +84,22 @@ def _warn_fallback(reason: str) -> None:  # once per distinct reason
         )
 
 
-def cost_volume_shapes_supported(H: int, W: int, num_planes: int) -> bool:
-    """Shape contract of kernels/cost_volume_pallas.py."""
-    return W % _LANE == 0 and H % 8 == 0 and num_planes % 8 == 0
+def cost_volume_shapes_supported(H: int, W: int, num_planes: int, C: int = 3) -> bool:
+    """Shape contract of kernels/cost_volume_pallas.py.
+
+    The kernel zero-pads arbitrary H/W/P exactly (see its docstring), so the
+    only real limit is its VMEM working set at the *padded* shape: two
+    [C, W, Hp] scratch planes, the ref image, the transposed source, and an
+    8-plane output chunk must fit beside double-buffering headroom.
+    """
+
+    def _up(x, m):
+        return (x + m - 1) // m * m
+
+    Wp, H8 = _up(W, _LANE), _up(H, 8)
+    Hp = _up(H8, _LANE)
+    vmem = 4 * (3 * C * Wp * Hp + C * H8 * Wp + 8 * H8 * Wp)
+    return vmem <= 12 * 1024 * 1024
 
 
 def normal_shapes_supported(H: int, W: int, k_size: int) -> bool:
@@ -100,8 +115,10 @@ def _resolve(backend, supported: bool, what: str) -> str:
         if explicit:
             raise ValueError(
                 f"backend 'pallas' was requested but the {what} kernel does "
-                "not support these shapes (needs W % 128 == 0, H % 8 == 0"
-                + (", P % 8 == 0)" if what == "cost_volume" else ", odd k)")
+                "not support these shapes ("
+                + ("padded VMEM working set exceeds the budget)"
+                   if what == "cost_volume"
+                   else "needs W % 128 == 0, H % 8 == 0, odd k)")
             )
         _warn_fallback(f"{what}: unsupported shapes")
         return "jnp"
@@ -129,8 +146,8 @@ def cost_volume(ref_images, src_images, ref_cam, src_cam, idepth_scale=3.0,
         raise ValueError(f"unknown sampling convention {sampling!r}")
 
     explicit = backend is not None or _FORCED is not None
-    H, W = ref_images.shape[1], ref_images.shape[2]
-    b = _resolve(backend, cost_volume_shapes_supported(H, W, num_planes),
+    H, W, C = ref_images.shape[1], ref_images.shape[2], ref_images.shape[3]
+    b = _resolve(backend, cost_volume_shapes_supported(H, W, num_planes, C),
                  "cost_volume")
     if b == "pallas":
         fn = _import_kernel("cost_volume_pallas", "cost_volume_pallas", explicit)

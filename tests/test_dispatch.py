@@ -83,14 +83,30 @@ class TestLoudFailures:
         with pytest.raises(ValueError, match="does not support these shapes"):
             dispatch.depth_to_normal(depth, K_inv, 5, backend="pallas")
 
-    def test_explicit_pallas_cost_volume_bad_planes_raises(self, rng):
+    def test_explicit_pallas_cost_volume_odd_planes_pads(self, rng):
+        """Unaligned plane counts ride the kernel's exact zero-pad path
+        (round-2; the round-1 kernel asserted P % 8 == 0)."""
+        from jax.experimental.pallas import tpu as pltpu
+
         from cnmnet_tpu.geometry.camera import Camera
 
         ref = jnp.asarray(rng.standard_normal((1, 16, 128, 3)), jnp.float32)
         K = jnp.asarray([[10.0, 0, 64], [0, 10.0, 8], [0, 0, 1]])[None]
         cam = Camera(extrinsic=jnp.eye(4)[None], intrinsic=K)
+        with pltpu.force_tpu_interpret_mode():
+            vol = dispatch.cost_volume(ref, ref, cam, cam, 3.0, 6, backend="pallas")
+        assert vol.shape == (1, 16, 128, 6)
+        np.testing.assert_allclose(np.asarray(vol), 0.0, atol=1e-3)
+
+    def test_explicit_pallas_cost_volume_vmem_blowup_raises(self, rng):
+        """Shapes whose padded VMEM working set cannot fit still raise."""
+        from cnmnet_tpu.geometry.camera import Camera
+
+        ref = jnp.zeros((1, 1024, 1408, 3), jnp.float32)
+        K = jnp.asarray([[10.0, 0, 704], [0, 10.0, 512], [0, 0, 1]])[None]
+        cam = Camera(extrinsic=jnp.eye(4)[None], intrinsic=K)
         with pytest.raises(ValueError, match="does not support these shapes"):
-            dispatch.cost_volume(ref, ref, cam, cam, 3.0, 6, backend="pallas")
+            dispatch.cost_volume(ref, ref, cam, cam, 3.0, 64, backend="pallas")
 
     def test_global_force_counts_as_explicit(self, rng):
         dispatch.set_backend("pallas")

@@ -68,6 +68,25 @@ class TestCostVolumePallas:
         want = np.asarray(cost_volume_from_cameras(ref, src, c1, c2, 3.0, 8))
         np.testing.assert_allclose(got, want, atol=5e-3)
 
+    @pytest.mark.parametrize("shape", [(30, 100, 6), (40, 130, 9)])
+    def test_padded_shapes(self, rng, shape):
+        """Unaligned H/W/P go through the exact zero-pad + crop path."""
+        h, w, p = shape
+        K = jnp.asarray(
+            [[60.0, 0, w / 2], [0, 60.0, h / 2], [0, 0, 1]], jnp.float32
+        )[None]
+        c1 = Camera(extrinsic=jnp.eye(4)[None], intrinsic=K)
+        c2 = Camera(
+            extrinsic=jnp.asarray(make_E(t=(0.06, 0.02, 0.0)))[None], intrinsic=K
+        )
+        ref = jnp.asarray(rng.standard_normal((1, h, w, 3)), jnp.float32)
+        src = jnp.asarray(rng.standard_normal((1, h, w, 3)), jnp.float32)
+        want = np.asarray(cost_volume_from_cameras(ref, src, c1, c2, 3.0, p))
+        with pltpu.force_tpu_interpret_mode():
+            got = np.asarray(cost_volume_pallas(ref, src, c1, c2, 3.0, p))
+        assert got.shape == want.shape == (1, h, w, p)
+        np.testing.assert_allclose(got, want, atol=5e-3)
+
 
 class TestDenseBilinear:
     def test_matches_gather_formulation(self, rng):
