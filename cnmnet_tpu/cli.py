@@ -61,6 +61,12 @@ def _parse(argv):
     pp.add_argument("--num-workers", type=int, default=4)
     pp.add_argument("--limit", type=int, default=None)
 
+    tb = sub.add_parser(
+        "export-tb", help="convert a run dir's events.jsonl to TensorBoard format"
+    )
+    tb.add_argument("run_dir")
+    tb.add_argument("--out", default=None)
+
     pl_ = sub.add_parser("prep-list", help="generate a train list")
     pl_.add_argument("--root-dir", required=True)
     pl_.add_argument("--out", required=True)
@@ -330,6 +336,13 @@ def cmd_prep_list(args) -> int:
     return 0
 
 
+def cmd_export_tb(args) -> int:
+    from cnmnet_tpu.obs.tb_export import convert_run
+
+    convert_run(args.run_dir, args.out)
+    return 0
+
+
 def main(argv=None) -> int:
     args = _parse(argv if argv is not None else sys.argv[1:])
     return {
@@ -340,6 +353,7 @@ def main(argv=None) -> int:
         "prep-cameras": cmd_prep_cameras,
         "prep-planes": cmd_prep_planes,
         "prep-list": cmd_prep_list,
+        "export-tb": cmd_export_tb,
     }[args.command](args)
 
 
