@@ -50,7 +50,11 @@ class DepthNet(nn.Module):
         resolution, each [B, h, w, 1] in inverse-depth units.
         """
         kw = dict(norm=self.norm, dtype=self.dtype)
-        x = jnp.concatenate([ref_image.astype(self.dtype), cost_volume.astype(self.dtype)], axis=-1)
+        # (rgb, volume) stays a tuple: the stem conv runs as a split
+        # MultiInConv — same params/math as conv(concat(...)), but the
+        # 64-plane volume keeps its 128-lane-aligned layout (the joint
+        # 67-channel conv was the round-1 profile's largest op).
+        x = (ref_image.astype(self.dtype), cost_volume.astype(self.dtype))
 
         # explicit names: nn.remat changes the auto-naming prefix, which
         # would silently re-key (and re-init) the params when toggled.
@@ -76,24 +80,20 @@ class DepthNet(nn.Module):
         disp4 = DispHead(self.idepth_scale, self.dtype)(iconv4)
         udisp4 = upsample2x_nearest(disp4).astype(self.dtype)
 
+        # The +1-channel disparity skips make these concats lane-unaligned
+        # (513/257/65 ch) — feed them as tuples (split conv, exact).
         upconv3 = UpConvBlock(256, 3, **kw)(iconv4, train)  # 1/4
-        iconv3 = ConvNormAct(256, 3, **kw)(
-            jnp.concatenate([upconv3, conv2, udisp4], axis=-1), train
-        )
+        iconv3 = ConvNormAct(256, 3, **kw)((upconv3, conv2, udisp4), train)
         disp3 = DispHead(self.idepth_scale, self.dtype)(iconv3)
         udisp3 = upsample2x_nearest(disp3).astype(self.dtype)
 
         upconv2 = UpConvBlock(128, 3, **kw)(iconv3, train)  # 1/2
-        iconv2 = ConvNormAct(128, 3, **kw)(
-            jnp.concatenate([upconv2, conv1, udisp3], axis=-1), train
-        )
+        iconv2 = ConvNormAct(128, 3, **kw)((upconv2, conv1, udisp3), train)
         disp2 = DispHead(self.idepth_scale, self.dtype)(iconv2)
         udisp2 = upsample2x_nearest(disp2).astype(self.dtype)
 
         upconv1 = UpConvBlock(64, 3, **kw)(iconv2, train)  # 1/1
-        iconv1 = ConvNormAct(64, 3, **kw)(
-            jnp.concatenate([upconv1, udisp2], axis=-1), train
-        )
+        iconv1 = ConvNormAct(64, 3, **kw)((upconv1, udisp2), train)
         disp1 = DispHead(self.idepth_scale, self.dtype)(iconv1)
 
         return [disp1, disp2, disp3, disp4], iconv1

@@ -62,9 +62,12 @@ class DepthRefineNet(nn.Module):
     ):
         """All inputs NHWC: idepth* [B, H, W, 1], iconv* [B, H, W, 64]."""
         diff = jnp.abs(idepth01 - idepth02)
-        x = jnp.concatenate(
-            [idepth01, idepth02, diff, iconv01 + iconv02], axis=-1
-        ).astype(self.dtype)
+        # Tuple input = split conv on the 1+1+1+64 = 67-ch unaligned concat
+        # (see layers.MultiInConv; params/math identical to the concat form).
+        x = tuple(
+            t.astype(self.dtype)
+            for t in (idepth01, idepth02, diff, iconv01 + iconv02)
+        )
 
         kw = dict(norm=self.norm, dtype=self.dtype)
         conv1 = DownConvBlock(128, 3, **kw)(x, train)

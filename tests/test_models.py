@@ -115,3 +115,40 @@ class TestCNMModel:
         np.testing.assert_allclose(
             np.asarray(out.idepth_g1), np.asarray(out.disps[0][:, 0]), atol=1e-5
         )
+
+
+class TestMultiInConv:
+    """The split-conv rewrite of conv(concat(...)) must be exact (round 2)."""
+
+    def test_matches_concat_conv(self, rng):
+        from cnmnet_tpu.models.layers import ConvNormAct
+
+        parts = [
+            jnp.asarray(rng.standard_normal((2, 8, 16, c)), jnp.float32)
+            for c in (3, 64)
+        ]
+        mod = ConvNormAct(32, 7, norm="batch", dtype=jnp.float32)
+        vs = mod.init(jax.random.PRNGKey(0), tuple(parts), train=False)
+        got = mod.apply(vs, tuple(parts), train=False)
+        # identical params drive the joint conv on the concat
+        want = mod.apply(vs, jnp.concatenate(parts, axis=-1), train=False)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=2e-5, rtol=1e-5
+        )
+
+    def test_param_tree_unchanged(self, rng):
+        """Tuple and concat inputs create the same single kernel param —
+        round-1 checkpoints keep loading."""
+        from cnmnet_tpu.models.layers import ConvNormAct
+
+        parts = (
+            jnp.zeros((1, 8, 16, 3), jnp.float32),
+            jnp.zeros((1, 8, 16, 64), jnp.float32),
+        )
+        mod = ConvNormAct(32, 7)
+        v_split = mod.init(jax.random.PRNGKey(0), parts, train=False)
+        v_joint = mod.init(
+            jax.random.PRNGKey(0), jnp.concatenate(parts, axis=-1), train=False
+        )
+        assert jax.tree_util.tree_structure(v_split) == jax.tree_util.tree_structure(v_joint)
+        assert v_split["params"]["Conv_0"]["kernel"].shape == (7, 7, 67, 32)
