@@ -14,6 +14,7 @@ Dotted overrides keep the reference's ergonomics: `dataset.batch_size=5`.
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 
 from cnmnet_tpu.config import Config, apply_overrides, load_config, to_dict
@@ -60,6 +61,14 @@ def _parse(argv):
     pp.add_argument("--scene-dir", required=True)
     pp.add_argument("--num-workers", type=int, default=4)
     pp.add_argument("--limit", type=int, default=None)
+
+    rp = sub.add_parser(
+        "report", help="HTML galleries over an eval artifact dir"
+    )
+    rp.add_argument("run_dir")
+    rp.add_argument("--compare", nargs="*", default=None,
+                    help="additional run dirs for a side-by-side page")
+    rp.add_argument("--image-width", type=int, default=256)
 
     tb = sub.add_parser(
         "export-tb", help="convert a run dir's events.jsonl to TensorBoard format"
@@ -336,6 +345,20 @@ def cmd_prep_list(args) -> int:
     return 0
 
 
+def cmd_report(args) -> int:
+    from cnmnet_tpu.evals.html_report import write_comparison, write_report
+
+    if args.compare:
+        runs = [args.run_dir] + list(args.compare)
+        out = os.path.join(args.run_dir, "comparison.html")
+        write_comparison(out, runs, image_width=args.image_width)
+        print(f"wrote {out}")
+    else:
+        pages = write_report(args.run_dir, image_width=args.image_width)
+        print(f"wrote {len(pages)} sequence pages + index under {args.run_dir}")
+    return 0
+
+
 def cmd_export_tb(args) -> int:
     from cnmnet_tpu.obs.tb_export import convert_run
 
@@ -354,6 +377,7 @@ def main(argv=None) -> int:
         "prep-planes": cmd_prep_planes,
         "prep-list": cmd_prep_list,
         "export-tb": cmd_export_tb,
+        "report": cmd_report,
     }[args.command](args)
 
 
