@@ -149,7 +149,11 @@ def cmd_train(args) -> int:
         )
 
         def data_iter():
-            return ds.batches(cfg.dataset.batch_size, epochs=1)
+            return ds.batches(
+                cfg.dataset.batch_size,
+                epochs=1,
+                wire_dtype=cfg.dataset.wire_dtype,
+            )
 
     else:
         from cnmnet_tpu.data.pipeline import PrefetchLoader
@@ -164,6 +168,7 @@ def cmd_train(args) -> int:
             image_height=cfg.dataset.image_height,
             image_width=cfg.dataset.image_width,
             max_planes=cfg.dataset.max_planes,
+            wire_dtype=cfg.dataset.wire_dtype,
         )
         # Multi-host data parallelism: each host loads a disjoint shard of
         # the epoch's index stream (same shuffle seed everywhere -> a
@@ -233,6 +238,7 @@ def cmd_eval(args) -> int:
         save_dir=args.save_dir,
         max_frames_per_seq=args.max_frames_per_seq,
         frame_batch=args.frame_batch,
+        wire_dtype=cfg.dataset.wire_dtype,
     )
     for k, v in result.items():
         print(f"{k}: {v:.4f}")
@@ -286,6 +292,7 @@ def cmd_eval_scannet(args) -> int:
             image_height=cfg.dataset.image_height,
             image_width=cfg.dataset.image_width,
             max_planes=cfg.dataset.max_planes,
+            wire_dtype=cfg.dataset.wire_dtype,
         )
 
     batch = collate([dataset[0]])

@@ -43,6 +43,9 @@ class DatasetConfig:
     max_planes: int = 20
     synthetic: bool = False  # procedural data (tests / benches without ScanNet)
     synthetic_size: int = 64
+    wire_dtype: str = "float32"  # "uint8": raw RGB batches (4x smaller H2D
+    # transfers); normalization folds into the compiled forward
+    # (ops/images.prepare_images)
 
 
 @dataclass

@@ -69,6 +69,11 @@ def _load():
             ctypes.c_char_p, f32p, ctypes.c_int, ctypes.c_int, f32p, f32p,
         ]
         lib.load_rgb_normalized.restype = ctypes.c_int
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        lib.load_rgb_u8.argtypes = [
+            ctypes.c_char_p, u8p, ctypes.c_int, ctypes.c_int,
+        ]
+        lib.load_rgb_u8.restype = ctypes.c_int
         lib.load_depth_meters.argtypes = [
             ctypes.c_char_p, f32p, ctypes.c_int, ctypes.c_int,
             ctypes.c_float, ctypes.c_float,
@@ -106,6 +111,22 @@ def load_rgb_normalized(path: str, width: int, height: int) -> np.ndarray:
     rc = lib.load_rgb_normalized(
         path.encode(), _fptr(out), width, height,
         _fptr(IMAGENET_MEAN), _fptr(IMAGENET_STD),
+    )
+    if rc != 0:
+        raise IOError(f"native rgb load failed ({rc}): {path}")
+    return out
+
+
+def load_rgb_u8(path: str, width: int, height: int) -> np.ndarray:
+    """JPEG -> resized [h, w, 3] uint8 (the uint8 wire format; the ImageNet
+    affine runs in-graph — `ops/images.prepare_images`)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(f"native loader unavailable: {_build_error}")
+    out = np.empty((height, width, 3), np.uint8)
+    rc = lib.load_rgb_u8(
+        path.encode(), out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        width, height,
     )
     if rc != 0:
         raise IOError(f"native rgb load failed ({rc}): {path}")

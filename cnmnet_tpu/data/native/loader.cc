@@ -184,6 +184,38 @@ void resize_normalize_rgb(const uint8_t* src, int sw, int sh, float* dst,
   }
 }
 
+// Bilinear RGB u8 -> u8 (uint8 wire format: the ImageNet affine runs
+// in-graph on device — see ops/images.prepare_images). Same half-pixel
+// sampling as resize_normalize_rgb, rounded to nearest.
+void resize_rgb_u8(const uint8_t* src, int sw, int sh, uint8_t* dst, int dw,
+                   int dh) {
+  const float sx = (float)sw / dw, sy = (float)sh / dh;
+  for (int y = 0; y < dh; y++) {
+    float fy = (y + 0.5f) * sy - 0.5f;
+    int y0 = (int)floorf(fy);
+    float wy = fy - y0;
+    int y0c = y0 < 0 ? 0 : (y0 >= sh ? sh - 1 : y0);
+    int y1c = y0 + 1 < 0 ? 0 : (y0 + 1 >= sh ? sh - 1 : y0 + 1);
+    const uint8_t* r0 = src + (long)y0c * sw * 3;
+    const uint8_t* r1 = src + (long)y1c * sw * 3;
+    uint8_t* drow = dst + (long)y * dw * 3;
+    for (int x = 0; x < dw; x++) {
+      float fx = (x + 0.5f) * sx - 0.5f;
+      int x0 = (int)floorf(fx);
+      float wx = fx - x0;
+      int x0c = x0 < 0 ? 0 : (x0 >= sw ? sw - 1 : x0);
+      int x1c = x0 + 1 < 0 ? 0 : (x0 + 1 >= sw ? sw - 1 : x0 + 1);
+      for (int c = 0; c < 3; c++) {
+        float v00 = r0[x0c * 3 + c], v01 = r0[x1c * 3 + c];
+        float v10 = r1[x0c * 3 + c], v11 = r1[x1c * 3 + c];
+        float v = (1 - wy) * ((1 - wx) * v00 + wx * v01) +
+                  wy * ((1 - wx) * v10 + wx * v11);
+        drow[x * 3 + c] = (uint8_t)(v + 0.5f);
+      }
+    }
+  }
+}
+
 // Nearest u16(mm) -> f32 meters with clamp-to-zero outside [dmin, dmax]
 // (torch nearest parity: src[floor(y*sh/dh)]).
 void resize_depth_meters(const uint16_t* src, int sw, int sh, float* dst,
@@ -226,6 +258,18 @@ int load_rgb_normalized(const char* path, float* dst, int dw, int dh,
   if (decode_jpeg_rgb(bytes.data(), bytes.size(), rgb.data(), &w, &h))
     return 2;
   resize_normalize_rgb(rgb.data(), w, h, dst, dw, dh, mean, stdv);
+  return 0;
+}
+
+int load_rgb_u8(const char* path, uint8_t* dst, int dw, int dh) {
+  std::vector<uint8_t> bytes;
+  if (read_file(path, &bytes)) return 1;
+  int w = 0, h = 0;
+  if (decode_jpeg_rgb(bytes.data(), bytes.size(), nullptr, &w, &h)) return 2;
+  std::vector<uint8_t> rgb((size_t)w * h * 3);
+  if (decode_jpeg_rgb(bytes.data(), bytes.size(), rgb.data(), &w, &h))
+    return 2;
+  resize_rgb_u8(rgb.data(), w, h, dst, dw, dh);
   return 0;
 }
 

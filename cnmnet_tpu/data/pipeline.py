@@ -24,7 +24,16 @@ def normalize_images(images: np.ndarray) -> np.ndarray:
     return ((images - IMAGENET_MEAN) / IMAGENET_STD).astype(np.float32)
 
 
+def quantize_images_u8(images: np.ndarray) -> np.ndarray:
+    """[0, 1] float RGB -> the uint8 wire format (4x smaller H2D transfers);
+    the inverse affine runs in-graph (`ops/images.prepare_images`)."""
+    return np.clip(np.rint(images * 255.0), 0, 255).astype(np.uint8)
+
+
 def denormalize_images(images: np.ndarray) -> np.ndarray:
+    """Back to [0, 1] RGB for visualization, from either wire format."""
+    if images.dtype == np.uint8:
+        return images.astype(np.float32) / 255.0
     return images * IMAGENET_STD + IMAGENET_MEAN
 
 

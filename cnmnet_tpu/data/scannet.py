@@ -64,7 +64,11 @@ class ScanNetDataset:
         load_planes: bool = True,
         normal_source: str = "lg_normal",  # or "normal_color" (png /255 variant)
         use_native: bool = True,
+        wire_dtype: str = "float32",  # "uint8": raw RGB on the wire, 4x
+        # smaller H2D; normalization then runs in-graph
+        # (ops/images.prepare_images)
     ):
+        assert wire_dtype in ("float32", "uint8"), wire_dtype
         if cv2 is None:
             raise RuntimeError("ScanNetDataset requires cv2")
         # C++ decode/resize/normalize path (GIL-free); cv2 fallback otherwise.
@@ -86,6 +90,7 @@ class ScanNetDataset:
         self.max_planes = max_planes
         self.load_planes = load_planes
         self.normal_source = normal_source
+        self.wire_dtype = wire_dtype
         with open(list_filepath) as f:
             self.sample_list: List[List[str]] = [
                 line.split() for line in f if line.strip()
@@ -199,11 +204,13 @@ class ScanNetDataset:
 
         for vi, image_id in enumerate(view_ids):
             if self._native is not None:
-                rgbs.append(
-                    self._native.load_rgb_normalized(
-                        self._path(scene, "rgb", image_id + ".jpg"), self.w, self.h
+                rgb_path = self._path(scene, "rgb", image_id + ".jpg")
+                if self.wire_dtype == "uint8":
+                    rgbs.append(self._native.load_rgb_u8(rgb_path, self.w, self.h))
+                else:
+                    rgbs.append(
+                        self._native.load_rgb_normalized(rgb_path, self.w, self.h)
                     )
-                )
             else:
                 rgb = self._load_rgb(scene, image_id) if vi else ref_rgb
                 rgbs.append(_resize(rgb, self.w, self.h, nearest=False))
@@ -232,12 +239,20 @@ class ScanNetDataset:
         disparity = np.reciprocal(depth_ref + 1e-4)
         disparity[(disparity < 0.02) | (disparity > 3.0)] = 0.0
 
-        # the native loader normalizes during resize; cv2 path normalizes here
+        # the native loader normalizes (or keeps u8) during resize; the cv2
+        # path carries [0, 1] floats here and converts to the wire format
         images = np.stack(rgbs)
         if self._native is None:
-            images = normalize_images(images)
+            if self.wire_dtype == "uint8":
+                from cnmnet_tpu.data.pipeline import quantize_images_u8
+
+                images = quantize_images_u8(images)
+            else:
+                images = normalize_images(images)
+        if images.dtype != np.uint8:
+            images = images.astype(np.float32)
         sample = {
-            "images": images.astype(np.float32),
+            "images": images,
             "depths": np.stack(depths).astype(np.float32),
             "cams": np.stack(cams).astype(np.float32),
             "normals": normal.astype(np.float32),

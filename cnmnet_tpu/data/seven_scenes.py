@@ -49,12 +49,20 @@ INTRINSICS = np.asarray(
 
 
 class SevenScenes:
-    def __init__(self, root_dir: str, image_height: int = 192, image_width: int = 256):
+    def __init__(
+        self,
+        root_dir: str,
+        image_height: int = 192,
+        image_width: int = 256,
+        wire_dtype: str = "float32",
+    ):
         if cv2 is None:
             raise RuntimeError("SevenScenes requires cv2")
+        assert wire_dtype in ("float32", "uint8"), wire_dtype
         self.root_dir = root_dir
         self.h = image_height
         self.w = image_width
+        self.wire_dtype = wire_dtype
         self.test_seqs_list = TEST_SEQS
 
     def frame_paths(self, scene: str, seq: str) -> List[Dict[str, str]]:
@@ -87,7 +95,9 @@ class SevenScenes:
         rgb = cv2.cvtColor(rgb, cv2.COLOR_BGR2RGB)
         oh, ow = rgb.shape[:2]
         rgb = cv2.resize(rgb, (self.w, self.h), interpolation=cv2.INTER_LINEAR)
-        rgb = normalize_images(rgb.astype(np.float32) / 255.0)
+        if self.wire_dtype != "uint8":  # u8 wire: ships the resized uint8
+            # as-is; normalization runs in-graph (ops/images.prepare_images)
+            rgb = normalize_images(rgb.astype(np.float32) / 255.0)
 
         pose = np.loadtxt(paths["pose"], dtype=np.float32)
         if not np.all(np.isfinite(pose)):

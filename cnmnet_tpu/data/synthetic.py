@@ -197,15 +197,32 @@ class SyntheticScenes:
             "index": np.int32(index),
         }
 
-    def batches(self, batch_size: int, epochs: int = 1, normalize: bool = True):
-        """Yield collated numpy batches (see pipeline.collate)."""
-        from cnmnet_tpu.data.pipeline import collate, normalize_images
+    def batches(
+        self,
+        batch_size: int,
+        epochs: int = 1,
+        normalize: bool = True,
+        wire_dtype: str = "float32",
+    ):
+        """Yield collated numpy batches (see pipeline.collate).
+
+        ``wire_dtype="uint8"`` ships raw uint8 RGB (4x smaller H2D; the
+        ImageNet affine then runs in-graph — `ops/images.prepare_images`);
+        the default ships host-normalized float32.
+        """
+        from cnmnet_tpu.data.pipeline import (
+            collate,
+            normalize_images,
+            quantize_images_u8,
+        )
 
         for _ in range(epochs):
             for start in range(0, len(self), batch_size):
                 idx = [(start + i) % len(self) for i in range(batch_size)]
                 samples = [self[i] for i in idx]
                 batch = collate(samples)
-                if normalize:
+                if wire_dtype == "uint8":
+                    batch["images"] = quantize_images_u8(batch["images"])
+                elif normalize:
                     batch["images"] = normalize_images(batch["images"])
                 yield batch

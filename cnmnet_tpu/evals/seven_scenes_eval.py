@@ -136,6 +136,7 @@ def evaluate_seven_scenes(
     logger=None,
     frame_batch: int = 1,
     mesh=None,
+    wire_dtype: str = "float32",
 ) -> Dict[str, float]:
     """Run a protocol over the 18 test sequences.
 
@@ -149,7 +150,7 @@ def evaluate_seven_scenes(
       dict of the nine aggregate metrics + timing (mean seconds/frame).
     """
     proto = EVAL_PROTOCOLS[num_sources]
-    ds = SevenScenes(root_dir, image_height, image_width)
+    ds = SevenScenes(root_dir, image_height, image_width, wire_dtype=wire_dtype)
     per_frame: List[Dict[str, float]] = []
     total_time, count = 0.0, 0
     import jax
@@ -250,11 +251,15 @@ def make_eval_forward(model, variables, k_size: int = 9):
 
     from cnmnet_tpu.geometry.camera import invert_intrinsics
     from cnmnet_tpu.kernels import dispatch
+    from cnmnet_tpu.ops.images import prepare_images
 
     @jax.jit
     def fn(images, cams):
         out = model.apply(
-            variables, jnp.asarray(images), jnp.asarray(cams), train=False
+            variables,
+            prepare_images(jnp.asarray(images)),
+            jnp.asarray(cams),
+            train=False,
         )
         if out.idepth_refined is not None:
             idepth, prob = out.idepth_refined, out.prob_map

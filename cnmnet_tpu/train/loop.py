@@ -27,6 +27,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from cnmnet_tpu.config import Config
+from cnmnet_tpu.ops.images import prepare_images
 from cnmnet_tpu.train.losses import LossWeights, compute_losses
 from cnmnet_tpu.train.state import CNMTrainState, create_train_state
 
@@ -51,7 +52,7 @@ def make_train_step(cfg: Config, mesh: Optional[Mesh] = None) -> Callable:
         def loss_fn(params):
             out, mutated = state.apply_fn(
                 {"params": params, "batch_stats": state.batch_stats},
-                batch["images"],
+                prepare_images(batch["images"]),
                 batch["cams"],
                 train=True,
                 mutable=["batch_stats"],

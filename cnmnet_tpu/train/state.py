@@ -92,9 +92,12 @@ def build_model(cfg: Config) -> CNMModel:
 
 def create_train_state(cfg: Config, rng: jax.Array, sample_batch) -> CNMTrainState:
     """Initialize params/batch_stats from one (host-local) example batch."""
+    from cnmnet_tpu.ops.images import prepare_images
+
     model = build_model(cfg)
     variables = model.init(
-        rng, sample_batch["images"], sample_batch["cams"], train=False
+        rng, prepare_images(sample_batch["images"]), sample_batch["cams"],
+        train=False,
     )
     return CNMTrainState.create(
         apply_fn=model.apply,

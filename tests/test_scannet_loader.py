@@ -128,6 +128,35 @@ class TestScanNetDataset:
         # rgb: different JPEG IDCT + resize rounding; bounded difference
         assert np.abs(b["images"] - a["images"]).mean() < 0.05
 
+    def test_uint8_wire_cv2(self, mock_scannet):
+        from cnmnet_tpu.data.pipeline import normalize_images
+
+        f = make_ds(mock_scannet, use_native=False)[0]
+        u = make_ds(mock_scannet, use_native=False, wire_dtype="uint8")[0]
+        assert u["images"].dtype == np.uint8
+        # u8 wire + host affine == float wire, up to half-step quantization
+        np.testing.assert_allclose(
+            normalize_images(u["images"].astype(np.float32) / 255.0),
+            f["images"],
+            atol=(0.5 / 255) / 0.224 + 1e-5,
+        )
+        # non-image fields unaffected by the wire format
+        np.testing.assert_array_equal(u["depths"], f["depths"])
+
+    def test_uint8_wire_native_matches_cv2(self, mock_scannet):
+        from cnmnet_tpu.data import native
+
+        if not native.available():
+            pytest.skip(f"native loader unavailable: {native.build_error()}")
+        a = make_ds(mock_scannet, use_native=False, wire_dtype="uint8")[0]
+        b = make_ds(mock_scannet, use_native=True, wire_dtype="uint8")[0]
+        assert b["images"].dtype == np.uint8
+        # different JPEG IDCT + resize rounding; bounded u8 difference
+        diff = np.abs(
+            b["images"].astype(np.int32) - a["images"].astype(np.int32)
+        )
+        assert diff.mean() < 0.05 * 255
+
     def test_normal_color_variant(self, mock_scannet):
         ds = make_ds(mock_scannet, use_native=False, normal_source="normal_color")
         s = ds[0]
