@@ -94,7 +94,7 @@ def _interp1d(rows: jnp.ndarray, pos: jnp.ndarray, width: int, valid_hi: int):
     return v0 * w0 + v1 * w1
 
 
-def _make_kernel(H: int, W: int, Hp: int, C: int, PC: int):
+def _make_kernel(H: int, W: int, Hp: int, C: int, PC: int, out_dtype):
     eps = 1e-8
 
     def kernel(coef_ref, ref_img_ref, src_t_ref, out_ref):
@@ -158,7 +158,7 @@ def _make_kernel(H: int, W: int, Hp: int, C: int, PC: int):
                         cost = cost + jnp.abs(
                             vals - ref_img_ref[0, c, pl.ds(ib * 8, 8), :]
                         )
-                    out_ref[0, k, pl.ds(ib * 8, 8), :] = cost
+                    out_ref[0, k, pl.ds(ib * 8, 8), :] = cost.astype(out_dtype)
                     return _
 
                 jax.lax.fori_loop(0, H // 8, row_block, 0)
@@ -204,7 +204,9 @@ def _round_up(x, m):
     return (x + m - 1) // m * m
 
 
-@functools.partial(jax.jit, static_argnames=("idepth_scale", "num_planes"))
+@functools.partial(
+    jax.jit, static_argnames=("idepth_scale", "num_planes", "out_dtype")
+)
 def cost_volume_pallas(
     ref_images: jnp.ndarray,
     src_images: jnp.ndarray,
@@ -212,10 +214,14 @@ def cost_volume_pallas(
     src_cam: Camera,
     idepth_scale: float = 3.0,
     num_planes: int = 64,
+    out_dtype=jnp.float32,
 ) -> jnp.ndarray:
-    """Batched plane-sweep cost volume, NHWC -> [B, H, W, P] fp32.
+    """Batched plane-sweep cost volume, NHWC -> [B, H, W, P] (``out_dtype``).
 
-    Same contract as ops.cost_volume.cost_volume_from_cameras.
+    Same contract as ops.cost_volume.cost_volume_from_cameras. The per-plane
+    cost accumulates in fp32 regardless; ``out_dtype=bfloat16`` rounds only
+    the VMEM writeback (halving the volume's HBM traffic and the transpose
+    feeding the bf16 conv stack).
 
     Arbitrary shapes: the kernel grid itself needs W % 128 == 0, H % 8 == 0
     and P % 8 == 0; other shapes are zero-padded in and cropped out. This is
@@ -246,7 +252,8 @@ def cost_volume_pallas(
     if pad:
         src_t = jnp.pad(src_t, ((0, 0), (0, 0), (0, 0), (0, pad)))
 
-    kernel = _make_kernel(H, W, Hp, C, _PCHUNK)
+    out_dtype = jnp.dtype(out_dtype)
+    kernel = _make_kernel(H, W, Hp, C, _PCHUNK, out_dtype)
     out = pl.pallas_call(
         kernel,
         grid=(B, num_planes // _PCHUNK),
@@ -262,7 +269,7 @@ def cost_volume_pallas(
         out_specs=pl.BlockSpec(
             (1, _PCHUNK, H, W), lambda b, pc: (b, pc, 0, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((B, num_planes, H, W), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, num_planes, H, W), out_dtype),
     )(coef, ref_chw, src_t)
     out = out[:, :P_out, :H_out, :W_out]
     return jax.lax.stop_gradient(jnp.transpose(out, (0, 2, 3, 1)))

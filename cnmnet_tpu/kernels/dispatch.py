@@ -126,8 +126,13 @@ def _resolve(backend, supported: bool, what: str) -> str:
 
 
 def cost_volume(ref_images, src_images, ref_cam, src_cam, idepth_scale=3.0,
-                num_planes=64, backend=None, sampling="exact"):
+                num_planes=64, backend=None, sampling="exact",
+                out_dtype=None):
     """Batched plane-sweep cost volume ``[B, H, W, P]`` (see ops.cost_volume).
+
+    out_dtype: volume element type (default fp32). ``bfloat16`` halves the
+    volume's HBM writeback for a bf16 conv stack; cost still accumulates
+    in fp32 on every backend.
 
     sampling: "exact" samples the source at the true pinhole projection u;
     "torch" reproduces the reference's torch-1.2-era grid_sample
@@ -149,14 +154,16 @@ def cost_volume(ref_images, src_images, ref_cam, src_cam, idepth_scale=3.0,
     H, W, C = ref_images.shape[1], ref_images.shape[2], ref_images.shape[3]
     b = _resolve(backend, cost_volume_shapes_supported(H, W, num_planes, C),
                  "cost_volume")
+    out_dtype = jnp.dtype(out_dtype) if out_dtype is not None else jnp.float32
     if b == "pallas":
         fn = _import_kernel("cost_volume_pallas", "cost_volume_pallas", explicit)
         if fn is not None:
             return fn(ref_images, src_images, ref_cam, src_cam, idepth_scale,
-                      num_planes)
-    return _cv_ops.cost_volume_from_cameras(
+                      num_planes, out_dtype=out_dtype)
+    vol = _cv_ops.cost_volume_from_cameras(
         ref_images, src_images, ref_cam, src_cam, idepth_scale, num_planes
     )
+    return vol.astype(out_dtype)
 
 
 def depth_to_normal(depth, intrinsics_inv, k_size=9, backend=None):

@@ -89,6 +89,7 @@ class CNMModel(nn.Module):
             num_planes=self.num_planes,
             backend=self.cv_backend,
             sampling=self.sampling,
+            out_dtype=self.dtype,
         )
 
         disps, iconv = self.depth_net(ref_rep, volume, train=train)

@@ -51,6 +51,23 @@ class TestCostVolumePallas:
         assert err.max() < tol, (err.max(), err.mean())
         assert err.mean() < tol / 5
 
+    def test_bf16_output(self, rng):
+        """out_dtype=bfloat16 rounds only the writeback: values equal the
+        f32 output to bf16 resolution."""
+        ref = jnp.asarray(rng.standard_normal((1, H, W, 3)), jnp.float32)
+        src = jnp.asarray(rng.standard_normal((1, H, W, 3)), jnp.float32)
+        c1, c2 = cams(make_E(t=(0.08, 0.02, 0.0)))
+        with pltpu.force_tpu_interpret_mode():
+            f32 = np.asarray(cost_volume_pallas(ref, src, c1, c2, 3.0, 8))
+            b16 = cost_volume_pallas(
+                ref, src, c1, c2, 3.0, 8, out_dtype=jnp.bfloat16
+            )
+        assert b16.dtype == jnp.bfloat16
+        got = np.asarray(b16.astype(jnp.float32))
+        np.testing.assert_allclose(
+            got, f32, atol=np.abs(f32).max() * 2 ** -8 + 1e-6
+        )
+
     def test_batched(self, rng):
         ref = jnp.asarray(rng.standard_normal((2, H, W, 3)), jnp.float32)
         src = jnp.asarray(rng.standard_normal((2, H, W, 3)), jnp.float32)
