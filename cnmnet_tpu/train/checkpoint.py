@@ -69,14 +69,21 @@ class CheckpointManager:
             path = os.path.abspath(str(directory_or_step))
             # A manager root (numeric step subdirectories, e.g. the
             # reference-style `resume_dir=<checkpoints>`): open it as a
-            # manager and restore its newest step.
+            # manager and restore its newest step. A manager *step* dir
+            # (`<checkpoints>/<step>`) restores that step via its parent.
             steps = [
                 int(d) for d in os.listdir(path) if d.isdigit()
             ] if os.path.isdir(path) else []
+            base = os.path.basename(path)
             if steps:
                 other = ocp.CheckpointManager(path)
                 restored = other.restore(
                     max(steps), args=ocp.args.StandardRestore(template)
+                )
+            elif base.isdigit():
+                other = ocp.CheckpointManager(os.path.dirname(path))
+                restored = other.restore(
+                    int(base), args=ocp.args.StandardRestore(template)
                 )
             else:
                 ckptr = ocp.StandardCheckpointer()

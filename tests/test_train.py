@@ -126,6 +126,29 @@ class TestCheckpoint:
         b = jax.tree_util.tree_leaves(restored.params)[0]
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
+    def test_restore_by_step_dir_path(self, tiny_cfg, tiny_batch, tmp_path):
+        """Restoring by a manager *step* directory (`<root>/<step>`), the
+        path shape tools pass when pointing at one concrete checkpoint."""
+        import os
+
+        from cnmnet_tpu.train.checkpoint import CheckpointManager
+
+        state = create_train_state(tiny_cfg, jax.random.PRNGKey(0), tiny_batch)
+        step = make_train_step(tiny_cfg)
+        state, _ = step(state, tiny_batch)
+        root = str(tmp_path / "stepdir_root")
+        mgr = CheckpointManager(root)
+        saved_step = mgr.save(state)
+        mgr.wait()
+
+        template = create_train_state(tiny_cfg, jax.random.PRNGKey(1), tiny_batch)
+        other = CheckpointManager(str(tmp_path / "elsewhere2"))
+        restored = other.restore(os.path.join(root, str(saved_step)), template)
+        assert int(restored.step) == int(state.step)
+        a = jax.tree_util.tree_leaves(state.params)[0]
+        b = jax.tree_util.tree_leaves(restored.params)[0]
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
     def test_restore_without_optimizer(self, tiny_cfg, tiny_batch, tmp_path):
         """The reference deliberately skips optimizer restore (`train.py:103`)."""
         from cnmnet_tpu.train.checkpoint import CheckpointManager
