@@ -44,6 +44,22 @@ def loss_weights_from_config(cfg: Config) -> LossWeights:
     )
 
 
+def _collective_compiler_options() -> Optional[dict]:
+    """On the CPU backend (virtual test/dryrun meshes), stretch XLA's
+    collective-rendezvous timeouts. The defaults assume device threads reach
+    each rendezvous within seconds; an oversubscribed host (N device threads
+    x M compile/test processes) can skew them past that, and the runtime
+    then CHECK-aborts the process (`AwaitAndLogIfStuck` -> SIGABRT — the
+    round-1 driver-gate crash). Real hangs are still bounded by the outer
+    `timeout` every gate runs under."""
+    if jax.default_backend() != "cpu":
+        return None
+    return {
+        "xla_cpu_collective_call_warn_stuck_seconds": 60,
+        "xla_cpu_collective_call_terminate_timeout_seconds": 3600,
+    }
+
+
 def make_train_step(cfg: Config, mesh: Optional[Mesh] = None) -> Callable:
     """Build the jitted (state, batch) -> (state, metrics) step."""
     w = loss_weights_from_config(cfg)
@@ -75,9 +91,10 @@ def make_train_step(cfg: Config, mesh: Optional[Mesh] = None) -> Callable:
         metrics["viz"] = viz
         return state, metrics
 
+    opts = _collective_compiler_options()
     if mesh is not None:
         repl = NamedSharding(mesh, P())
-        jitted = jax.jit(step, donate_argnums=(0,))
+        jitted = jax.jit(step, donate_argnums=(0,), compiler_options=opts)
         first_call = [True]
         tiled = mesh.shape.get("tile", 1) > 1
         # Which dim of each batch field is the image-row (H) axis; sharding
@@ -106,7 +123,7 @@ def make_train_step(cfg: Config, mesh: Optional[Mesh] = None) -> Callable:
             return jitted(state, batch)
 
         return sharded_step
-    return jax.jit(step, donate_argnums=(0,))
+    return jax.jit(step, donate_argnums=(0,), compiler_options=opts)
 
 
 def _log_images(logger, step: int, batch, viz):
