@@ -21,6 +21,8 @@ with the solve inside VMEM.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 from jax import lax
@@ -28,12 +30,7 @@ from jax import lax
 from cnmnet_tpu.geometry.warp import pixel2cam
 
 
-def box_filter(x: jnp.ndarray, k_size: int) -> jnp.ndarray:
-    """Separable k x k box sum with zero padding, NHWC.
-
-    Equivalent to correlating with a k x k kernel of ones (the unfold-sum of
-    the reference), done as two depthwise 1-D convolutions.
-    """
+def _box_filter_impl(x: jnp.ndarray, k_size: int) -> jnp.ndarray:
     B, H, W, C = x.shape
     pad = k_size // 2
     ones_v = jnp.ones((k_size, 1, 1, 1), x.dtype)
@@ -50,6 +47,34 @@ def box_filter(x: jnp.ndarray, k_size: int) -> jnp.ndarray:
         feature_group_count=C, precision=lax.Precision.HIGHEST,
     )
     return y
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def box_filter(x: jnp.ndarray, k_size: int) -> jnp.ndarray:
+    """Separable k x k box sum with zero padding, NHWC.
+
+    Equivalent to correlating with a k x k kernel of ones (the unfold-sum of
+    the reference), done as two depthwise 1-D convolutions.
+
+    Custom VJP: the zero-padded box sum is **self-adjoint** (|i-j| <= pad is
+    symmetric, the two 1-D passes commute), so the backward pass is the same
+    box filter applied to the cotangent — mathematically identical to the
+    autodiff gradient but lowered as the cheap forward-style conv instead of
+    XLA's generic transposed-conv (the two `transpose(jvp())` convs were
+    ~1.8 ms of the 54 ms train step on v5e).
+    """
+    return _box_filter_impl(x, k_size)
+
+
+def _box_filter_fwd(x, k_size):
+    return _box_filter_impl(x, k_size), None
+
+
+def _box_filter_bwd(k_size, _res, g):
+    return (_box_filter_impl(g, k_size),)
+
+
+box_filter.defvjp(_box_filter_fwd, _box_filter_bwd)
 
 
 def solve_normal_equations(moments: jnp.ndarray, det_eps: float = 1e-5) -> jnp.ndarray:
