@@ -55,6 +55,9 @@ def _collective_compiler_options() -> Optional[dict]:
     if jax.default_backend() != "cpu":
         return None
     return {
+        # the in-process communicator's own op timeout
+        "xla_cpu_collective_timeout_seconds": 3600,
+        # the collective-call rendezvous stuck-warn / CHECK-abort pair
         "xla_cpu_collective_call_warn_stuck_seconds": 60,
         "xla_cpu_collective_call_terminate_timeout_seconds": 3600,
     }
