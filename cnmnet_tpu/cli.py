@@ -52,6 +52,19 @@ def _parse(argv):
 
     b = sub.add_parser("bench", help="single-chip throughput benchmark")
 
+    inf = sub.add_parser(
+        "infer",
+        help="offline batched inference over .npz frames (serve.InferenceSession)",
+    )
+    inf.add_argument("--config", default=None)
+    inf.add_argument("--checkpoint", default=None)
+    inf.add_argument("--inputs", required=True,
+                     help="glob of .npz files with arrays images [V,H,W,3] "
+                          "(uint8 or normalized f32) and cams [V,2,4,4]")
+    inf.add_argument("--out-dir", required=True)
+    inf.add_argument("--batch", type=int, default=8)
+    inf.add_argument("overrides", nargs="*")
+
     pc = sub.add_parser("prep-cameras", help="ScanNet pose+K -> cameras/*_cam.txt")
     pc.add_argument("--scene-dir", required=True)
     pc.add_argument("--out-width", type=int, default=256)
@@ -322,6 +335,51 @@ def cmd_bench(_args) -> int:
     return 0
 
 
+def cmd_infer(args) -> int:
+    """Offline batched inference: .npz frames -> depth/normal/prob .npz."""
+    import glob as globmod
+    import os
+
+    import numpy as np
+
+    cfg = _build_config(args)
+    from cnmnet_tpu.serve import InferenceSession
+
+    paths = sorted(globmod.glob(args.inputs))
+    if not paths:
+        print(f"no inputs match {args.inputs!r}")
+        return 1
+    os.makedirs(args.out_dir, exist_ok=True)
+    session = InferenceSession(
+        cfg, checkpoint=args.checkpoint, batch_buckets=(1, args.batch)
+    )
+    pending, names = [], []
+
+    def flush():
+        if not pending:
+            return
+        images = np.stack([p[0] for p in pending])
+        cams = np.stack([p[1] for p in pending])
+        out = session.predict(images, cams)
+        for i, name in enumerate(names):
+            np.savez(
+                os.path.join(args.out_dir, name + ".pred.npz"),
+                **{k: v[i] for k, v in out.items()},
+            )
+        pending.clear()
+        names.clear()
+
+    for path in paths:
+        with np.load(path) as z:
+            pending.append((np.asarray(z["images"]), np.asarray(z["cams"])))
+        names.append(os.path.splitext(os.path.basename(path))[0])
+        if len(pending) >= args.batch:
+            flush()
+    flush()
+    print(f"wrote {len(paths)} predictions to {args.out_dir}")
+    return 0
+
+
 def cmd_prep_cameras(args) -> int:
     from cnmnet_tpu.data.prep import make_camera_files
 
@@ -380,6 +438,7 @@ def main(argv=None) -> int:
         "eval": cmd_eval,
         "eval-scannet": cmd_eval_scannet,
         "bench": cmd_bench,
+        "infer": cmd_infer,
         "prep-cameras": cmd_prep_cameras,
         "prep-planes": cmd_prep_planes,
         "prep-list": cmd_prep_list,
