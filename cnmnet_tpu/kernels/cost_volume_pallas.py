@@ -30,9 +30,11 @@ Hardware notes (probed on TPU v5e, recorded in .claude/skills/verify):
 * Mosaic `take_along_axis` works only along the minor (lane) axis with
   width <= 128 — wider or sublane gathers miscompile — hence the explicit
   128-wide window loops;
-* grid = (B, plane-chunks): image blocks have grid-invariant index maps
-  along the plane axis so Mosaic keeps them in VMEM across chunks; only the
-  [PC, H, W] output chunk is written back per step.
+* grid = (B, plane-chunks, row-bands): the transposed source has a
+  grid-invariant index map along the plane and band axes so Mosaic keeps it
+  in VMEM across steps; the ref block, resampling scratches, and the
+  [PC, HB, W] output chunk are one 128-row band tall — the banding is what
+  bounds VMEM at large resolutions (480x640 fits in ~9.5 MB).
 """
 
 from __future__ import annotations
@@ -49,6 +51,7 @@ from cnmnet_tpu.ops.cost_volume import idepth_hypotheses
 
 _LANE = 128
 _PCHUNK = 8  # planes per grid step (bounds the VMEM output block)
+_HBAND = 128  # output rows per grid step (bounds every row-indexed buffer)
 
 
 def _lane_gather(rows: jnp.ndarray, idx: jnp.ndarray, width: int) -> jnp.ndarray:
@@ -94,8 +97,24 @@ def _interp1d(rows: jnp.ndarray, pos: jnp.ndarray, width: int, valid_hi: int):
     return v0 * w0 + v1 * w1
 
 
-def _make_kernel(H: int, W: int, Hp: int, C: int, PC: int, out_dtype):
+def _make_kernel(
+    H8: int, W: int, Hp: int, C: int, PC: int, out_dtype, HB: int, RB: int
+):
+    """Band-tiled kernel: grid step (b, pc, hb) computes PC planes of the
+    HB output rows [hb*HB, hb*HB + HB). Only the full source image
+    (`src_t`, for pass V's arbitrary-row gathers) scales with the image
+    height in VMEM; every row-indexed buffer (the two resampling scratches,
+    the ref block, the output block) is HB rows — which is what lets
+    480x640 (a ~25 MB whole-image working set) fit the ~16 MB VMEM.
+
+    H8: valid output rows (8-aligned). Hp: padded source-column length
+    (= bands * HB, lane-aligned). HB == Hp means one band — the
+    whole-image-resident fast path used whenever it fits VMEM; banding is
+    engaged only for resolutions whose working set would not (it costs
+    ~1.5x at the flagship shape: doubled grid steps and padded rows).
+    """
     eps = 1e-8
+    row_blocks = RB // 8  # ref/out rows per band (H8 in the 1-band path)
 
     def kernel(coef_ref, ref_img_ref, src_t_ref, out_ref):
         (
@@ -104,6 +123,10 @@ def _make_kernel(H: int, W: int, Hp: int, C: int, PC: int, out_dtype):
         ) = (coef_ref[0, 0, k] for k in range(14))
 
         pc = pl.program_id(1)
+        # first output row of this band; the 1-band fast path has a 2-D
+        # grid and a literal 0 so its trace carries no band arithmetic
+        banded = HB != Hp
+        row0 = pl.program_id(2) * RB if banded else 0
 
         def scoped(a_t, a):
             def plane_body(k, _):
@@ -113,9 +136,12 @@ def _make_kernel(H: int, W: int, Hp: int, C: int, PC: int, out_dtype):
                 ay = r12 + kty * idp
                 az = r22 + ktz * idp
 
-                # ---- pass V: A^T[u, i] = src[Y(i, u), u] ---------------
-                u_s = jax.lax.broadcasted_iota(jnp.int32, (8, Hp), 0).astype(jnp.float32)
-                i_l = jax.lax.broadcasted_iota(jnp.int32, (8, Hp), 1).astype(jnp.float32)
+                # ---- pass V: A^T[u, i] = src[Y(i, u), u], i in band ----
+                u_s = jax.lax.broadcasted_iota(jnp.int32, (8, HB), 0).astype(jnp.float32)
+                i_l = jax.lax.broadcasted_iota(jnp.int32, (8, HB), 1)
+                if banded:
+                    i_l = i_l + row0
+                i_l = i_l.astype(jnp.float32)
 
                 def col_block(ub, _):
                     u = u_s + (ub * 8).astype(jnp.float32)
@@ -130,21 +156,22 @@ def _make_kernel(H: int, W: int, Hp: int, C: int, PC: int, out_dtype):
                     Y = jnp.clip(Y, -2.0, jnp.float32(Hp))
                     for c in range(C):
                         cols = src_t_ref[0, c, pl.ds(ub * 8, 8), :]  # [8, Hp]
-                        a_t[c, pl.ds(ub * 8, 8), :] = _interp1d(cols, Y, Hp, H)
+                        a_t[c, pl.ds(ub * 8, 8), :] = _interp1d(cols, Y, Hp, H8)
                     return _
 
                 jax.lax.fori_loop(0, W // 8, col_block, 0)
 
-                # ---- transpose A^T [C, W, Hp] -> A [C, Hp, W] ----------
+                # ---- transpose A^T [C, W, HB] -> A [C, HB, W] ----------
                 for c in range(C):
                     a[c, :, :] = a_t[c, :, :].T
 
-                # ---- pass H + cost -------------------------------------
+                # ---- pass H + cost over the band's valid rows ----------
                 i_s = jax.lax.broadcasted_iota(jnp.int32, (8, W), 0).astype(jnp.float32)
                 j_l = jax.lax.broadcasted_iota(jnp.int32, (8, W), 1).astype(jnp.float32)
 
                 def row_block(ib, _):
-                    i = i_s + (ib * 8).astype(jnp.float32)
+                    off = row0 + ib * 8 if banded else ib * 8
+                    i = i_s + off.astype(jnp.float32)
                     numx = r00 * j_l + r01 * i + ax
                     den = r20 * j_l + r21 * i + az
                     behind = den <= eps
@@ -161,15 +188,21 @@ def _make_kernel(H: int, W: int, Hp: int, C: int, PC: int, out_dtype):
                     out_ref[0, k, pl.ds(ib * 8, 8), :] = cost.astype(out_dtype)
                     return _
 
-                jax.lax.fori_loop(0, H // 8, row_block, 0)
+                # Static bound: single-band (HB == Hp) stops exactly at
+                # H8; multi-band last-band rows past H8 compute garbage
+                # that the caller crops (zeros-padded inputs, so no
+                # NaN/inf can escape into the valid region). A dynamic
+                # bound measured markedly slower (scalar while-loop per
+                # plane per band).
+                jax.lax.fori_loop(0, row_blocks, row_block, 0)
                 return _
 
             jax.lax.fori_loop(0, PC, plane_body, 0)
 
         pl.run_scoped(
             scoped,
-            pltpu.VMEM((C, W, Hp), jnp.float32),
-            pltpu.VMEM((C, Hp, W), jnp.float32),
+            pltpu.VMEM((C, W, HB), jnp.float32),
+            pltpu.VMEM((C, HB, W), jnp.float32),
         )
 
     return kernel
@@ -236,40 +269,71 @@ def cost_volume_pallas(
     H_out, W_out, P_out = H, W, num_planes
     Wp_ = _round_up(W, _LANE)
     H8 = _round_up(H, 8)
+    Hp = _round_up(H8, _LANE)
+    # Band only when the whole-image-resident working set would blow VMEM
+    # (the single-band path is ~1.5x faster at shapes that fit).
+    unbanded = 4 * (3 * C * Wp_ * Hp + C * H8 * Wp_ + _PCHUNK * H8 * Wp_)
+    HB = Hp if unbanded <= 12 * 1024 * 1024 else _HBAND
+    Hp = _round_up(H8, HB)  # padded source-column length, lane-aligned
+    # RB: ref/output rows per band — tight H8 in the single-band fast path
+    # (no padded pass-H rows or writeback), HB when banding.
+    RB = H8 if HB == Hp else HB
+    bands = Hp // HB
     Pp = _round_up(num_planes, _PCHUNK)
     coef = _pack_coefs(ref_cam, src_cam, idepth_scale, num_planes)
-    if (Wp_, H8) != (W, H):
-        pad_hw = ((0, 0), (0, H8 - H), (0, Wp_ - W), (0, 0))
-        ref_images = jnp.pad(ref_images, pad_hw)
-        src_images = jnp.pad(src_images, pad_hw)
-        H, W = H8, Wp_
+    # pad (padded cost rows are cropped; the zero source rows sample as
+    # zeros = the frustum's zeros mode)
+    if (bands * RB, Wp_) != (H, W):
+        ref_images = jnp.pad(
+            ref_images,
+            ((0, 0), (0, bands * RB - H), (0, Wp_ - W), (0, 0)),
+        )
+    if (Hp, Wp_) != (H, W):
+        src_images = jnp.pad(
+            src_images, ((0, 0), (0, Hp - H), (0, Wp_ - W), (0, 0))
+        )
+    W = Wp_
     num_planes = Pp
-    Hp = _round_up(H, _LANE)
 
     ref_chw = jnp.transpose(ref_images, (0, 3, 1, 2)).astype(jnp.float32)
     src_t = jnp.transpose(src_images, (0, 3, 2, 1)).astype(jnp.float32)
-    pad = Hp - H
-    if pad:
-        src_t = jnp.pad(src_t, ((0, 0), (0, 0), (0, 0), (0, pad)))
 
     out_dtype = jnp.dtype(out_dtype)
-    kernel = _make_kernel(H, W, Hp, C, _PCHUNK, out_dtype)
+    kernel = _make_kernel(H8, W, Hp, C, _PCHUNK, out_dtype, HB, RB)
+    if bands == 1:  # fast path: 2-D grid, no band axis at all
+        grid = (B, num_planes // _PCHUNK)
+        coef_ix = lambda b, pc: (b, 0, 0)
+        img_ix = lambda b, pc: (b, 0, 0, 0)
+        out_ix = lambda b, pc: (b, pc, 0, 0)
+    else:
+        grid = (B, num_planes // _PCHUNK, bands)
+        coef_ix = lambda b, pc, hb: (b, 0, 0)
+        img_ix = lambda b, pc, hb: (b, 0, 0, 0)
+
+        def _ref_ix(b, pc, hb):
+            return (b, 0, hb, 0)
+
+        def _out_ix(b, pc, hb):
+            return (b, pc, hb, 0)
+
     out = pl.pallas_call(
         kernel,
-        grid=(B, num_planes // _PCHUNK),
+        grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 1, 14), lambda b, pc: (b, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 14), coef_ix, memory_space=pltpu.SMEM),
             pl.BlockSpec(
-                (1, C, H, W), lambda b, pc: (b, 0, 0, 0), memory_space=pltpu.VMEM
+                (1, C, RB, W),
+                img_ix if bands == 1 else _ref_ix,
+                memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec(
-                (1, C, W, Hp), lambda b, pc: (b, 0, 0, 0), memory_space=pltpu.VMEM
-            ),
+            pl.BlockSpec((1, C, W, Hp), img_ix, memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, _PCHUNK, H, W), lambda b, pc: (b, pc, 0, 0), memory_space=pltpu.VMEM
+            (1, _PCHUNK, RB, W),
+            out_ix if bands == 1 else _out_ix,
+            memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((B, num_planes, H, W), out_dtype),
+        out_shape=jax.ShapeDtypeStruct((B, num_planes, bands * RB, W), out_dtype),
     )(coef, ref_chw, src_t)
     out = out[:, :P_out, :H_out, :W_out]
     return jax.lax.stop_gradient(jnp.transpose(out, (0, 2, 3, 1)))

@@ -87,18 +87,27 @@ def _warn_fallback(reason: str) -> None:  # once per distinct reason
 def cost_volume_shapes_supported(H: int, W: int, num_planes: int, C: int = 3) -> bool:
     """Shape contract of kernels/cost_volume_pallas.py.
 
-    The kernel zero-pads arbitrary H/W/P exactly (see its docstring), so the
-    only real limit is its VMEM working set at the *padded* shape: two
-    [C, W, Hp] scratch planes, the ref image, the transposed source, and an
-    8-plane output chunk must fit beside double-buffering headroom.
+    The kernel zero-pads arbitrary H/W/P exactly and tiles output rows into
+    128-row bands (see its docstring), so the only working-set term that
+    scales with the full image height is the VMEM-resident transposed
+    source [C, W, Hp]; the scratch planes, ref block and output chunk are
+    one band tall. Everything must fit a v5e's ~16 MB VMEM beside
+    double-buffering headroom (budget 12 MB). 7-Scenes-native 480x640/64p
+    sits at ~9.5 MB; the flagship 192x256 at ~3 MB.
     """
 
     def _up(x, m):
         return (x + m - 1) // m * m
 
+    HB = 128  # _HBAND
     Wp, H8 = _up(W, _LANE), _up(H, 8)
-    Hp = _up(H8, _LANE)
-    vmem = 4 * (3 * C * Wp * Hp + C * H8 * Wp + 8 * H8 * Wp)
+    Hp = _up(H8, HB)
+    vmem = 4 * (
+        C * Wp * Hp          # src_t (full height, resident across bands)
+        + 2 * C * Wp * HB    # a_t / a resampling scratches (one band)
+        + C * HB * Wp        # ref band
+        + 8 * HB * Wp        # output chunk (f32 worst case)
+    )
     return vmem <= 12 * 1024 * 1024
 
 
