@@ -63,12 +63,15 @@ def main():
     out = forward(images, cams)
     jax.block_until_ready(out)
 
-    iters = 30 if platform != "cpu" else 3
-    t0 = time.monotonic()
-    for _ in range(iters):
-        out = forward(images, cams)
-    jax.block_until_ready(out)
-    dt = (time.monotonic() - t0) / iters
+    # chain-slope timing: immune to the tunneled runtime's memoization of
+    # identical calls and to early-returning block_until_ready (both
+    # observed on this machine — see obs/timing.py and RESULTS.md)
+    from cnmnet_tpu.obs.timing import forward_slope_seconds
+
+    if platform != "cpu":
+        dt = forward_slope_seconds(forward, images, cams, k1=10, k2=40)
+    else:
+        dt = forward_slope_seconds(forward, images, cams, k1=1, k2=4)
 
     fps = 1.0 / dt
     print(

@@ -60,14 +60,12 @@ def main(argv=None):
                 normals, _ = dispatch.depth_to_normal(depth, K_inv, 9)
                 return out.idepth_refined, out.prob_map, normals
 
+            from cnmnet_tpu.obs.timing import forward_slope_seconds
+
             t0 = time.monotonic()
             jax.block_until_ready(forward(images, cams))
             compile_s = time.monotonic() - t0
-            t0 = time.monotonic()
-            for _ in range(args.iters):
-                out = forward(images, cams)
-            jax.block_until_ready(out)
-            dt = (time.monotonic() - t0) / args.iters
+            dt = forward_slope_seconds(forward, images, cams)
             print(
                 f"{views}-view @ {h}x{w}: {1.0 / dt:7.1f} frames/s/chip "
                 f"({dt * 1e3:6.2f} ms/frame; compile+first {compile_s:.1f} s)",
