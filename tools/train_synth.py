@@ -83,7 +83,11 @@ def main(argv=None):
         idx = [(start + j) % args.pool for j in range(args.batch)]
         b = collate([sample(i) for i in idx])
         b["images"] = normalize_images(b["images"])
-        pool.append(jax.device_put(b))
+        b = jax.device_put(b)
+        jax.block_until_ready(b)  # surface tunnel stalls at a known point
+        pool.append(b)
+        if (start // args.batch) % 8 == 7:
+            print(f"  staged {start + args.batch}/{args.pool}", flush=True)
 
     state = create_train_state(cfg, jax.random.PRNGKey(0), pool[0])
     start_step = 0
