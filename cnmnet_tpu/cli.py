@@ -147,7 +147,7 @@ def cmd_train(args) -> int:
     )
     logger = MetricLogger(cfg.train.log_dir, config=to_dict(cfg))
     checkpointer = CheckpointManager(
-        cfg.train.checkpoint_dir, max_to_keep=cfg.train.checkpoints_per_epoch
+        cfg.train.checkpoint_dir, max_to_keep=cfg.train.ckpt_keep
     )
 
     if cfg.dataset.synthetic:
@@ -168,6 +168,7 @@ def cmd_train(args) -> int:
                 wire_dtype=cfg.dataset.wire_dtype,
             )
 
+        epoch_len = cfg.dataset.synthetic_size // cfg.dataset.batch_size
     else:
         from cnmnet_tpu.data.pipeline import PrefetchLoader
         from cnmnet_tpu.data.scannet import ScanNetDataset
@@ -197,6 +198,14 @@ def cmd_train(args) -> int:
 
         def data_iter():
             return iter(loader)
+
+        epoch_len = len(loader)
+
+    if cfg.train.ckpt_interval is None:
+        # the reference's 8x/epoch cadence (`train.py:402-410`)
+        if cfg.train.steps_per_epoch:
+            epoch_len = min(epoch_len, cfg.train.steps_per_epoch)
+        cfg.train.ckpt_interval = max(1, epoch_len // 8)
 
     state = train_loop(
         cfg,

@@ -80,7 +80,12 @@ class TrainConfig:
     resume_dir: Optional[str] = None
     print_interval: int = 10
     checkpoint_dir: str = "checkpoints"
-    checkpoints_per_epoch: int = 8
+    ckpt_keep: int = 8  # orbax max_to_keep
+    # steps between mid-epoch checkpoint saves; None derives the
+    # reference's 8x/epoch cadence from the loader length
+    # (`/root/reference/train.py:402-410`). Epoch-end + interrupt saves
+    # always happen regardless.
+    ckpt_interval: Optional[int] = None
     use_normal_loss: bool = True  # False = the `train_wo_normal` recipe
     use_normal_refined_by_planes: bool = True  # CNM vs raw GT normals
     curriculum_epochs: int = 5  # disparity-only epochs in train_wo_normal

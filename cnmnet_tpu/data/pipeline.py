@@ -64,9 +64,13 @@ class PrefetchLoader:
     ):
         """``shard_index``/``shard_count`` partition the index stream
         disjointly across hosts (multi-host data parallelism): every host
-        shuffles the full epoch with the same seed, then keeps the strided
-        slice ``order[shard_index::shard_count]``. ``batch_size`` is the
-        HOST-LOCAL batch; the global batch is ``batch_size * shard_count``.
+        shuffles the full epoch with the same seed, keeps the strided slice
+        ``order[shard_index::shard_count]``, then truncates to the COMMON
+        shard length ``len(dataset) // shard_count`` so every host yields
+        the same number of batches per epoch — a host with one extra batch
+        would dispatch a collective train step its peers never join and
+        hang at the rendezvous. ``batch_size`` is the HOST-LOCAL batch; the
+        global batch is ``batch_size * shard_count``.
         """
         assert 0 <= shard_index < shard_count, (shard_index, shard_count)
         self.dataset = dataset
@@ -82,10 +86,7 @@ class PrefetchLoader:
         self._epoch = 0
 
     def _shard_len(self):
-        n = len(self.dataset)
-        return n // self.shard_count + (
-            self.shard_index < n % self.shard_count
-        )
+        return len(self.dataset) // self.shard_count
 
     def __len__(self):
         n = self._shard_len()
@@ -100,6 +101,7 @@ class PrefetchLoader:
             rng.shuffle(order)
         if self.shard_count > 1:
             order = order[self.shard_index :: self.shard_count]
+            order = order[: self._shard_len()]
         n = len(order)
         batches = []
         for start in range(0, n, self.batch_size):

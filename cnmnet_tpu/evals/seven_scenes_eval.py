@@ -3,11 +3,13 @@
 Implements every protocol of the reference's `eval.py` as one parameterized
 driver (`num_sources` replaces the four near-duplicate sacred commands):
 
-* 2-view  (`eval`,   `eval.py:162-319`): stride 10, source +10, no refiner;
-* 3-view  (`eval_refine`, `:321-520`): stride 3, sources +/-10, refined;
-* 5-view  (`eval_refine_five_views`, `:523-712`): sources +10,-10,+5,-5
-  batched through one DepthNet call, pair-averaged into the refiner;
-* 7-view  (`eval_refine_seven_views`, `:715-993`): +/-10, +/-5, +/-20.
+* 2-view  (`eval`,   `eval.py:162-319`): index % 10, source +10, no refiner;
+* 3-view  (`eval_refine`, `:321-520`): index % 3, sources +/-10, refined;
+* 5-view  (`eval_refine_five_views`, `:523-712`): index % 3, sources
+  +10,-10,+5,-5 batched through one DepthNet call, pair-averaged into the
+  refiner;
+* 7-view  (`eval_refine_seven_views`, `:715-993`): index % 9, +/-10, +/-5,
+  +/-20.
 
 Offsets are ordered so the model's even/odd grouping reproduces the
 reference's pair averaging. Metrics follow `cal_metrics`
@@ -32,18 +34,32 @@ from cnmnet_tpu.data.seven_scenes import SevenScenes
 from cnmnet_tpu.ops import metrics as M
 
 EVAL_PROTOCOLS = {
-    # num_sources: frame stride, source offsets in reference order, and the
-    # reference's EXACT loop bounds (`eval.py:239,408,581,817`): the frame
-    # census is part of metric parity. Quirks preserved deliberately:
-    # the 5-view command reuses the 7-view's end margin (len-20 although its
-    # max forward offset is 10), and the 7-view's start of 10 < its max
-    # backward offset 20, so indices 12/15/18 read filepaths[index-20] < 0 —
-    # Python wraps that to the sequence END, and so do we (list indexing).
-    1: dict(stride=10, offsets=(10,), start=0, end_margin=10),
-    2: dict(stride=3, offsets=(10, -10), start=10, end_margin=10),
-    4: dict(stride=3, offsets=(10, -10, 5, -5), start=10, end_margin=20),
-    6: dict(stride=3, offsets=(10, -10, 5, -5, 20, -20), start=10, end_margin=20),
+    # num_sources: source offsets in reference order plus the reference's
+    # EXACT loop structure — `for index in range(start, len - end_margin):
+    # if index % modulus != 0: continue` (`eval.py:239-240, 408-409,
+    # 581-582, 817-818`): the frame census is part of metric parity.
+    # Quirks preserved deliberately: the 5-view command reuses the 7-view's
+    # end margin (len-20 although its max forward offset is 10), and the
+    # 7-view's start of 10 < its max backward offset 20, so index 18 reads
+    # filepaths[index-20] < 0 — Python wraps that to the sequence END, and
+    # so do we (list indexing).
+    1: dict(modulus=10, offsets=(10,), start=0, end_margin=10),
+    2: dict(modulus=3, offsets=(10, -10), start=10, end_margin=10),
+    4: dict(modulus=3, offsets=(10, -10, 5, -5), start=10, end_margin=20),
+    6: dict(modulus=9, offsets=(10, -10, 5, -5, 20, -20), start=10, end_margin=20),
 }
+
+
+def protocol_frame_indices(num_sources: int, num_frames: int) -> List[int]:
+    """Reference-frame indices a protocol visits in a sequence of
+    ``num_frames`` frames — the exact census of the reference loops
+    (`eval.py:239-240,408-409,581-582,817-818`)."""
+    proto = EVAL_PROTOCOLS[num_sources]
+    return [
+        i
+        for i in range(proto["start"], num_frames - proto["end_margin"])
+        if i % proto["modulus"] == 0
+    ]
 
 
 def aggregate_metrics(per_frame: List[Dict[str, float]]) -> Dict[str, float]:
@@ -197,9 +213,7 @@ def evaluate_seven_scenes(
     for scene, seq in (seqs or ds.test_seqs_list):
         paths = ds.frame_paths(scene, seq)
         done = 0
-        for index in range(proto["start"], len(paths) - proto["end_margin"], 1):
-            if index % proto["stride"] != 0:
-                continue
+        for index in protocol_frame_indices(num_sources, len(paths)):
             if max_frames_per_seq and done >= max_frames_per_seq:
                 break
             try:

@@ -52,6 +52,7 @@ from cnmnet_tpu.ops.cost_volume import idepth_hypotheses
 _LANE = 128
 _PCHUNK = 8  # planes per grid step (bounds the VMEM output block)
 _HBAND = 128  # output rows per grid step (bounds every row-indexed buffer)
+_VMEM_BUDGET = 12 * 1024 * 1024  # whole-image fast path above this bands
 
 
 def _lane_gather(rows: jnp.ndarray, idx: jnp.ndarray, width: int) -> jnp.ndarray:
@@ -238,7 +239,8 @@ def _round_up(x, m):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("idepth_scale", "num_planes", "out_dtype")
+    jax.jit,
+    static_argnames=("idepth_scale", "num_planes", "out_dtype", "vmem_budget"),
 )
 def cost_volume_pallas(
     ref_images: jnp.ndarray,
@@ -248,6 +250,7 @@ def cost_volume_pallas(
     idepth_scale: float = 3.0,
     num_planes: int = 64,
     out_dtype=jnp.float32,
+    vmem_budget: int | None = None,
 ) -> jnp.ndarray:
     """Batched plane-sweep cost volume, NHWC -> [B, H, W, P] (``out_dtype``).
 
@@ -272,8 +275,11 @@ def cost_volume_pallas(
     Hp = _round_up(H8, _LANE)
     # Band only when the whole-image-resident working set would blow VMEM
     # (the single-band path is ~1.5x faster at shapes that fit).
+    # ``vmem_budget`` overrides the default so tests can force the banded
+    # path at small shapes.
+    budget = _VMEM_BUDGET if vmem_budget is None else int(vmem_budget)
     unbanded = 4 * (3 * C * Wp_ * Hp + C * H8 * Wp_ + _PCHUNK * H8 * Wp_)
-    HB = Hp if unbanded <= 12 * 1024 * 1024 else _HBAND
+    HB = Hp if unbanded <= budget else _HBAND
     Hp = _round_up(H8, HB)  # padded source-column length, lane-aligned
     # RB: ref/output rows per band — tight H8 in the single-band fast path
     # (no padded pass-H rows or writeback), HB when banding.

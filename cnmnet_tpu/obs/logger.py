@@ -74,6 +74,7 @@ class MetricLogger:
             "min": float(v.min()),
             "max": float(v.max()),
             "mean": float(v.mean()),
+            "std": float(v.std()),
             "p5": float(np.percentile(v, 5)),
             "p50": float(np.percentile(v, 50)),
             "p95": float(np.percentile(v, 95)),

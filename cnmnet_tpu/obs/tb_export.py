@@ -143,15 +143,23 @@ class TFEventWriter:
     def histogram_sketch(self, wall: float, step: int, tag: str,
                          stats: Dict[str, float]) -> None:
         lo, hi = stats["min"], stats["max"]
-        edges = [stats["p5"], stats["p50"], stats["p95"], hi if hi > lo else hi + 1e-12]
+        # strictly increasing bucket edges (duplicate percentiles collapse
+        # when the distribution is near-degenerate)
+        edges = [stats["p5"], stats["p50"], stats["p95"], hi]
+        for i in range(1, len(edges)):
+            if edges[i] <= edges[i - 1]:
+                edges[i] = edges[i - 1] + max(abs(edges[i - 1]), 1.0) * 1e-9
         counts = [5.0, 45.0, 45.0, 5.0]
         mean = stats["mean"]
+        # sum_squares must encode the recorded variance — TB derives the
+        # display std from sum/sum_squares, not the bucket sketch
+        var = stats.get("std", 0.0) ** 2
         histo = (
             _f_double(1, lo)
             + _f_double(2, hi)
             + _f_double(3, 100.0)
             + _f_double(4, mean * 100.0)
-            + _f_double(5, mean * mean * 100.0)
+            + _f_double(5, (var + mean * mean) * 100.0)
             + _f_packed_doubles(6, edges)
             + _f_packed_doubles(7, counts)
         )

@@ -56,12 +56,16 @@ class InferenceSession:
         batch_buckets: Sequence[int] = (1, 4, 8),
         k_size: Optional[int] = None,
     ):
+        import copy
+
         import jax
 
         from cnmnet_tpu.cache import enable_compilation_cache
 
         enable_compilation_cache()
-        self.cfg = cfg or Config()
+        # session-local copy: the bf16 override below must not leak into a
+        # caller's Config shared with e.g. a training run
+        self.cfg = copy.deepcopy(cfg) if cfg is not None else Config()
         if jax.devices()[0].platform != "cpu" and (
             self.cfg.model.compute_dtype == "float32"
         ):
@@ -85,7 +89,15 @@ class InferenceSession:
         from cnmnet_tpu.train.state import build_model, create_train_state
 
         model = build_model(self.cfg)
-        batch = {"images": images[:1], "cams": cams[:1]}
+        # init with >= 3 views regardless of the first request's V: a
+        # 2-view init would return before RefineNet and create no refiner
+        # params, crashing a later V>=3 predict on the same session
+        img1, cam1 = images[:1], cams[:1]
+        if img1.shape[1] < 3:
+            reps = 3 - img1.shape[1]
+            img1 = np.concatenate([img1] + [img1[:, -1:]] * reps, axis=1)
+            cam1 = np.concatenate([cam1] + [cam1[:, -1:]] * reps, axis=1)
+        batch = {"images": img1, "cams": cam1}
         state = create_train_state(self.cfg, jax.random.PRNGKey(0), batch)
         if self._checkpoint:
             from cnmnet_tpu.train.checkpoint import CheckpointManager

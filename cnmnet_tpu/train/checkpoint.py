@@ -34,6 +34,8 @@ class CheckpointManager:
 
     def save(self, state: CNMTrainState, step: Optional[int] = None):
         step = int(state.step) if step is None else int(step)
+        if step in self._mgr.all_steps():
+            return step  # idempotent: interval + epoch-end saves can collide
         self._mgr.save(step, args=ocp.args.StandardSave(state))
         return step
 

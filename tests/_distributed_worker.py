@@ -1,0 +1,99 @@
+"""Worker process for tests/test_distributed.py.
+
+Runs ONE sharded train step as process `pid` of `nprocs` over a global
+8-device CPU mesh (8 // nprocs virtual devices per process), with
+per-process input shards — the multi-process path `cli.py` wires via
+`jax.distributed.initialize` but which (until round 3) nothing ever
+executed. With nprocs=1 it is the single-process 8-device reference run
+the test compares against.
+
+Usage: python _distributed_worker.py <port> <nprocs> <pid> <out_json>
+"""
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    port, nprocs, pid, out_path = (
+        int(sys.argv[1]),
+        int(sys.argv[2]),
+        int(sys.argv[3]),
+        sys.argv[4],
+    )
+    import jax
+
+    jax.config.update("jax_platform_name", "cpu")
+    jax.config.update("jax_num_cpu_devices", 8 // nprocs)
+    if nprocs > 1:
+        jax.distributed.initialize(
+            coordinator_address=f"127.0.0.1:{port}",
+            num_processes=nprocs,
+            process_id=pid,
+        )
+    assert jax.device_count() == 8, jax.devices()
+    assert jax.local_device_count() == 8 // nprocs
+
+    import jax.numpy as jnp
+    from jax.experimental import multihost_utils
+    from jax.sharding import PartitionSpec as P
+
+    from cnmnet_tpu.config import Config
+    from cnmnet_tpu.data.pipeline import collate, normalize_images
+    from cnmnet_tpu.data.synthetic import SyntheticScenes
+    from cnmnet_tpu.parallel.mesh import make_mesh
+    from cnmnet_tpu.train.loop import make_train_step
+    from cnmnet_tpu.train.state import create_train_state
+
+    cfg = Config()
+    cfg.model.num_planes = 8
+    cfg.model.k_size = 5
+    cfg.dataset.batch_size = 8
+
+    # identical global batch in every process (deterministic synthetic data)
+    ds = SyntheticScenes(num_samples=8, height=32, width=64, view_num=3)
+    batch = collate([ds[i] for i in range(8)])
+    batch["images"] = normalize_images(batch["images"])
+    batch.pop("index")
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+
+    # identical replicated init everywhere (same seed)
+    state = create_train_state(cfg, jax.random.PRNGKey(0), batch)
+
+    mesh = make_mesh(data=8, tile=1)
+    state_g = multihost_utils.host_local_array_to_global_array(
+        state, mesh, P()
+    )
+    # per-process input shard: this process contributes its slice of the
+    # global batch only (the PrefetchLoader shard_index/shard_count
+    # contract)
+    per = 8 // nprocs
+    local = {k: v[pid * per : (pid + 1) * per] for k, v in batch.items()}
+    batch_g = multihost_utils.host_local_array_to_global_array(
+        local, mesh, P("data")
+    )
+
+    step = make_train_step(cfg, mesh=None)  # shardings flow from the args
+    state2, metrics = step(state_g, batch_g)
+    loss = float(jax.block_until_ready(metrics["loss"]))
+    grad_norm = float(metrics["grad_norm"])
+    # a parameter leaf's global sum — cheap cross-process agreement probe
+    leaf = jax.tree_util.tree_leaves(state2.params)[0]
+    leaf_sum = float(jnp.sum(leaf))
+
+    if pid == 0:
+        with open(out_path, "w") as f:
+            json.dump(
+                {"loss": loss, "grad_norm": grad_norm, "leaf_sum": leaf_sum},
+                f,
+            )
+    if nprocs > 1:
+        jax.distributed.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

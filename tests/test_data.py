@@ -302,7 +302,7 @@ class TestHostSharding:
         from cnmnet_tpu.data.pipeline import PrefetchLoader
 
         n, hosts = 37, 3
-        all_seen = []
+        all_seen, batch_counts = [], []
         for h in range(hosts):
             ds = self.Recorder(n)
             loader = PrefetchLoader(
@@ -311,12 +311,33 @@ class TestHostSharding:
             )
             batches = list(loader)
             assert len(batches) == len(loader)
+            batch_counts.append(len(batches))
             all_seen.append(set(ds.seen))
-        # disjoint across hosts, and jointly covering the whole epoch
+        # every host yields the SAME number of batches (a straggler batch
+        # would dispatch a collective step its peers never join)
+        assert len(set(batch_counts)) == 1
+        # disjoint across hosts; shards truncate to the common length, so
+        # coverage misses at most shard_count-1 samples per epoch
         assert all_seen[0] & all_seen[1] == set()
         assert all_seen[0] & all_seen[2] == set()
         assert all_seen[1] & all_seen[2] == set()
-        assert all_seen[0] | all_seen[1] | all_seen[2] == set(range(n))
+        covered = all_seen[0] | all_seen[1] | all_seen[2]
+        assert len(covered) == hosts * (n // hosts)
+        assert covered <= set(range(n))
+
+    def test_uneven_shards_yield_equal_batch_counts(self):
+        from cnmnet_tpu.data.pipeline import PrefetchLoader
+
+        # n=9, 2 hosts, batch_size=1: without truncation host 0 would
+        # produce 5 batches vs host 1's 4 and hang the rendezvous
+        counts = []
+        for h in range(2):
+            loader = PrefetchLoader(
+                self.Recorder(9), batch_size=1, num_workers=1, seed=0,
+                shard_index=h, shard_count=2, drop_last=False,
+            )
+            counts.append(len(list(loader)))
+        assert counts == [4, 4]
 
     def test_single_shard_default_unchanged(self):
         from cnmnet_tpu.data.pipeline import PrefetchLoader

@@ -9,6 +9,7 @@ from cnmnet_tpu.evals.seven_scenes_eval import (
     EVAL_PROTOCOLS,
     aggregate_metrics,
     evaluate_seven_scenes,
+    protocol_frame_indices,
 )
 
 
@@ -56,10 +57,33 @@ def _fwd(value_fn):
 
 class TestProtocols:
     def test_protocol_table(self):
-        assert EVAL_PROTOCOLS[1]["stride"] == 10
+        assert EVAL_PROTOCOLS[1]["offsets"] == (10,)
         assert EVAL_PROTOCOLS[2]["offsets"] == (10, -10)
         assert EVAL_PROTOCOLS[4]["offsets"] == (10, -10, 5, -5)
         assert EVAL_PROTOCOLS[6]["offsets"] == (10, -10, 5, -5, 20, -20)
+
+    def test_frame_census_vs_reference_loops(self):
+        """Literal frame sets from hand-executing the reference loops.
+
+        2-view  `eval.py:239-240`:  range(0,  n-10), index % 10 == 0
+        3-view  `eval.py:408-409`:  range(10, n-10), index % 3  == 0
+        5-view  `eval.py:581-582`:  range(10, n-20), index % 3  == 0
+        7-view  `eval.py:817-818`:  range(10, n-20), index % 9  == 0
+        """
+        assert protocol_frame_indices(1, 40) == [0, 10, 20]
+        assert protocol_frame_indices(2, 40) == [12, 15, 18, 21, 24, 27]
+        assert protocol_frame_indices(4, 40) == [12, 15, 18]
+        assert protocol_frame_indices(6, 40) == [18]
+        assert protocol_frame_indices(1, 100) == [0, 10, 20, 30, 40, 50, 60, 70, 80]
+        assert protocol_frame_indices(2, 100) == [
+            12, 15, 18, 21, 24, 27, 30, 33, 36, 39, 42, 45, 48, 51, 54, 57,
+            60, 63, 66, 69, 72, 75, 78, 81, 84, 87,
+        ]
+        assert protocol_frame_indices(4, 100) == [
+            12, 15, 18, 21, 24, 27, 30, 33, 36, 39, 42, 45, 48, 51, 54, 57,
+            60, 63, 66, 69, 72, 75, 78,
+        ]
+        assert protocol_frame_indices(6, 100) == [18, 27, 36, 45, 54, 63, 72]
 
     def test_aggregate(self):
         frames = [{"l1": 1.0, "rmse": 2.0}, {"l1": 3.0, "rmse": 4.0}]
@@ -194,10 +218,11 @@ class TestHarness:
         assert normal.shape == (48, 64, 3)
 
     def test_frame_census_parity(self, mock_seven_scenes):
-        """Census parity with the reference loops (`eval.py:239,408`):
-        40-frame sequence -> 2-view visits 0,10,20 (3 frames — index 0
-        included, the round-1 deviation); 3-view visits 12..27 step 3
-        (6 frames)."""
+        """End-to-end census parity on a 40-frame sequence: the driver must
+        visit exactly the frames `protocol_frame_indices` derives from the
+        reference loops (2-view: 0,10,20; 3-view: 12..27 % 3; 5-view:
+        12,15,18; 7-view: 18 only — its -20 source wraps to the sequence
+        end exactly as the reference's negative list index does)."""
 
         def oracle(images, cams):
             import jax.numpy as jnp
@@ -206,25 +231,13 @@ class TestHarness:
             return jnp.full((B, h, w, 1), 1.0 / 2.5)
 
         kw = dict(image_height=48, image_width=64, seqs=[("chess", "seq-03")])
-        two = evaluate_seven_scenes(
-            _fwd(oracle), mock_seven_scenes, num_sources=1, **kw
-        )
-        assert two["frames"] == 3
-        three = evaluate_seven_scenes(
-            _fwd(oracle), mock_seven_scenes, num_sources=2, **kw
-        )
-        assert three["frames"] == 6
-        # 5/7-view: range(10, 40-20) step 3 -> 12,15,18 (7-view's -20
-        # source wraps to the sequence end exactly as the reference's
-        # negative list index does)
-        five = evaluate_seven_scenes(
-            _fwd(oracle), mock_seven_scenes, num_sources=4, **kw
-        )
-        assert five["frames"] == 3
-        seven = evaluate_seven_scenes(
-            _fwd(oracle), mock_seven_scenes, num_sources=6, **kw
-        )
-        assert seven["frames"] == 3
+        for num_sources in (1, 2, 4, 6):
+            res = evaluate_seven_scenes(
+                _fwd(oracle), mock_seven_scenes, num_sources=num_sources, **kw
+            )
+            assert res["frames"] == len(
+                protocol_frame_indices(num_sources, 40)
+            ), num_sources
 
 
 class TestScanNetPlaneEval:

@@ -52,9 +52,13 @@ class TestCostVolumePallas:
         assert err.mean() < tol / 5
 
     def test_multi_band_rows(self, rng):
-        """H > 128 exercises the row-band grid (2 bands at H=200): band
-        offsets, the band-local ref block, and the dynamic last-band row
-        bound must reproduce the single-pass jnp reference."""
+        """Force the 3-D banded grid (the 480x640 path) with a tiny
+        vmem_budget: band row0 offsets, the band-local ref block, and the
+        last-band garbage-row cropping must reproduce the single-pass jnp
+        reference. H=200 -> Hp=256, HB=128 -> 2 bands, with the second band
+        holding only 72 valid rows (the crop path)."""
+        from cnmnet_tpu.kernels import cost_volume_pallas as cvp
+
         Hb, Wb = 200, 128
         ref = jnp.asarray(rng.standard_normal((1, Hb, Wb, 3)), jnp.float32)
         src = jnp.asarray(rng.standard_normal((1, Hb, Wb, 3)), jnp.float32)
@@ -65,15 +69,25 @@ class TestCostVolumePallas:
         c2 = Camera(
             extrinsic=jnp.asarray(make_E(t=(0.08, 0.02, 0.0)))[None], intrinsic=K
         )
+        # the default budget would pick the unbanded fast path here; a
+        # 1-byte budget forces HB=_HBAND=128 -> bands=2
+        unbanded_ws = 4 * (3 * 3 * 128 * 256 + 3 * 200 * 128 + 8 * 200 * 128)
+        assert unbanded_ws <= cvp._VMEM_BUDGET, "shape no longer unbanded by default"
         want = np.asarray(cost_volume_from_cameras(ref, src, c1, c2, 3.0, 8))
         with pltpu.force_tpu_interpret_mode():
-            got = np.asarray(cost_volume_pallas(ref, src, c1, c2, 3.0, 8))
+            got = np.asarray(
+                cost_volume_pallas(ref, src, c1, c2, 3.0, 8, vmem_budget=1)
+            )
         assert got.shape == want.shape
         err = np.abs(got - want)
         # the two-pass decomposition's known deviation class (RESULTS.md:
         # max 3e-3 at 192x256 on white noise)
         assert err.max() < 4e-3, (err.max(), err.mean())
         assert err.mean() < 4e-4
+        # and the banded result must agree with the unbanded fast path
+        with pltpu.force_tpu_interpret_mode():
+            fast = np.asarray(cost_volume_pallas(ref, src, c1, c2, 3.0, 8))
+        np.testing.assert_allclose(got, fast, rtol=0, atol=1e-6)
 
     def test_bf16_output(self, rng):
         """out_dtype=bfloat16 rounds only the writeback: values equal the

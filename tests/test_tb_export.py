@@ -73,8 +73,33 @@ class TestConvertRun:
             limits = np.frombuffer(histo[6][0], "<f8")
             counts = np.frombuffer(histo[7][0], "<f8")
             assert limits.shape == counts.shape == (4,)
-            assert np.all(np.diff(limits) >= 0)
+            assert np.all(np.diff(limits) > 0)  # strictly increasing edges
             assert counts.sum() == pytest.approx(100.0)
+            # moments encode the recorded variance: linspace(-1, 3, 101)
+            # has mean 1 and var (Sum (x-1)^2)/101
+            x = np.linspace(-1.0, 3.0, 101)
+            assert histo[4][0] == pytest.approx(x.mean() * 100.0)
+            assert histo[5][0] == pytest.approx(
+                (x.var() + x.mean() ** 2) * 100.0, rel=1e-6
+            )
+            return
+        raise AssertionError("no histogram event found")
+
+    def test_degenerate_histogram_edges_strictly_increase(self, tmp_path):
+        """Constant values give p5 == p50 == p95 == max; the written bucket
+        edges must still be strictly increasing for TB to render."""
+        log = MetricLogger(str(tmp_path), echo=None)
+        log.log_histogram(1, "const", np.full(64, 2.0))
+        log.close()
+        path = convert_run(str(tmp_path))
+        for e in _events(path):
+            if 5 not in e or b"const" not in e[5][0]:
+                continue
+            value = parse_proto(parse_proto(e[5][0])[1][0])
+            histo = parse_proto(value[5][0])
+            limits = np.frombuffer(histo[6][0], "<f8")
+            assert np.all(np.diff(limits) > 0)
+            assert histo[5][0] == pytest.approx(4.0 * 100.0)  # var=0, mean=2
             return
         raise AssertionError("no histogram event found")
 

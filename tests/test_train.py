@@ -223,6 +223,131 @@ class TestActiveDecay:
         )
 
 
+class TestCheckpointCadence:
+    def test_interval_and_epoch_end_saves(self, tiny_batch, monkeypatch, tmp_path):
+        """ckpt_interval=2 over one 5-step epoch saves at steps 2, 4 and the
+        epoch end (5) — the reference's 8x/epoch analogue
+        (`train.py:402-410`), here exact and step-addressed."""
+        from cnmnet_tpu.train import loop as loop_mod
+
+        def fake_make_train_step(cfg, mesh=None):
+            def fake_step(state, batch):
+                return state.replace(step=state.step + 1), {"loss": jnp.asarray(1.0)}
+
+            return fake_step
+
+        monkeypatch.setattr(loop_mod, "make_train_step", fake_make_train_step)
+
+        saved = []
+
+        class Recorder:
+            def save(self, state, step=None):
+                saved.append(int(step))
+
+            def wait(self):
+                pass
+
+        def data():
+            for _ in range(5):
+                yield tiny_batch
+
+        cfg = Config()
+        cfg.model.num_planes = 8
+        cfg.train.num_epochs = 1
+        cfg.train.ckpt_interval = 2
+        loop_mod.train_loop(cfg, data, logger=None, checkpointer=Recorder())
+        assert saved == [2, 4, 5]
+
+    def test_sigterm_leaves_resumable_checkpoint(self, tmp_path):
+        """kill -TERM mid-train must leave a resumable checkpoint (real
+        process-level signal delivery, the preemption path the reference
+        lacks entirely)."""
+        import os
+        import signal
+        import subprocess
+        import sys
+        import time
+
+        script = tmp_path / "victim.py"
+        ckpt_dir = tmp_path / "ck"
+        script.write_text(
+            f"""
+import sys
+import jax
+import jax.numpy as jnp
+from cnmnet_tpu.config import Config
+from cnmnet_tpu.train import loop as loop_mod
+from cnmnet_tpu.train.checkpoint import CheckpointManager
+from cnmnet_tpu.train.state import CNMTrainState
+
+def fake_make_train_step(cfg, mesh=None):
+    def fake_step(state, batch):
+        import time
+        time.sleep(0.05)
+        return state.replace(step=state.step + 1), {{"loss": jnp.asarray(1.0)}}
+    return fake_step
+
+loop_mod.make_train_step = fake_make_train_step
+
+def fake_create_train_state(cfg, rng, batch):
+    import optax
+    from flax import core
+    tx = optax.sgd(1e-3)
+    params = core.freeze({{"w": jnp.zeros(3)}})
+    return CNMTrainState.create(
+        apply_fn=lambda *a, **k: None, params=params, tx=tx,
+        batch_stats=core.freeze({{}}),
+    )
+
+loop_mod.create_train_state = fake_create_train_state
+
+def data():
+    while True:
+        yield {{"images": jnp.zeros((1,))}}
+
+cfg = Config()
+cfg.train.num_epochs = 1
+cfg.train.steps_per_epoch = 10_000
+cfg.train.ckpt_interval = None
+mgr = CheckpointManager({str(ckpt_dir)!r})
+print("READY", flush=True)
+try:
+    loop_mod.train_loop(cfg, data, logger=None, checkpointer=mgr)
+except KeyboardInterrupt:
+    mgr.wait()
+    print("SAVED", flush=True)
+    sys.exit(0)
+sys.exit(1)
+"""
+        )
+        env = dict(os.environ)
+        env.setdefault("JAX_PLATFORMS", "cpu")
+        env["JAX_PLATFORM_NAME"] = "cpu"
+        proc = subprocess.Popen(
+            [sys.executable, str(script)],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            text=True,
+            env=env,
+            cwd="/root/repo",
+        )
+        try:
+            line = proc.stdout.readline()
+            assert "READY" in line, line
+            time.sleep(0.5)  # let a few fake steps run
+            proc.send_signal(signal.SIGTERM)
+            out, _ = proc.communicate(timeout=120)
+        finally:
+            if proc.poll() is None:
+                proc.kill()
+        assert proc.returncode == 0, out
+        assert "SAVED" in out, out
+        from cnmnet_tpu.train.checkpoint import CheckpointManager
+
+        mgr = CheckpointManager(str(ckpt_dir))
+        assert mgr.latest_step() is not None and mgr.latest_step() > 0
+
+
 class TestWatchdog:
     def test_loggerless_divergence_halts(self, tiny_cfg, tiny_batch, monkeypatch, tmp_path):
         """The NaN watchdog must tick on every step even with no logger
