@@ -132,16 +132,23 @@ def cmd_train(args) -> int:
     # (with a visible note) rather than erroring on small smoke runs.
     import math
 
-    n_dev = len(jax.devices())
+    n_dev = len(jax.devices())  # GLOBAL device count in multi-process runs
     tile = cfg.parallel.tile_axis
     data = cfg.parallel.data_axis if cfg.parallel.data_axis != -1 else n_dev // tile
-    usable = math.gcd(cfg.dataset.batch_size, data)
+    # batch_size is HOST-local; divisibility is against the global batch
+    global_batch = cfg.dataset.batch_size * jax.process_count()
+    usable = math.gcd(global_batch, data)
     if usable != data:
         print(
-            f"note: batch_size={cfg.dataset.batch_size} not divisible by "
+            f"note: global batch {global_batch} not divisible by "
             f"data axis {data}; using a {usable}-way data mesh"
         )
         data = usable
+    if jax.process_count() > 1 and data * tile != n_dev:
+        raise ValueError(
+            f"multi-process runs must use every device: mesh {data}x{tile} "
+            f"!= {n_dev} global devices (pick batch/axes accordingly)"
+        )
     mesh = make_mesh(
         data=data, tile=tile, devices=jax.devices()[: data * tile]
     )

@@ -3,7 +3,6 @@ from cnmnet_tpu.data.synthetic import SyntheticScenes
 from cnmnet_tpu.data.scannet import ScanNetDataset
 from cnmnet_tpu.data.seven_scenes import SevenScenes
 from cnmnet_tpu.data.pipeline import PrefetchLoader, collate
-from cnmnet_tpu.data.grain_pipeline import make_grain_loader
 
 __all__ = [
     "load_cam_text",
@@ -14,5 +13,4 @@ __all__ = [
     "SevenScenes",
     "PrefetchLoader",
     "collate",
-    "make_grain_loader",
 ]

@@ -3,8 +3,11 @@
 The reference leans on torch DataLoader workers (`train.py:51-54`); here the
 host pipeline is a thin thread-pool prefetcher feeding numpy batches to the
 device loop (double-buffered so H2D transfer and host decode overlap the TPU
-step). A C++ decode path can slot under `_load_worker` later; the interface
-is plain numpy dicts.
+step), with the C++ native decoder supplying in-process parallel decode
+underneath. This is the ONE loader surface: a grain-based alternative was
+removed in round 3 (two shuffle/shard implementations to keep in sync, no
+caller) — if checkpointable input iterators are ever needed, reintroduce
+grain as the backend *inside* PrefetchLoader rather than beside it.
 """
 
 from __future__ import annotations

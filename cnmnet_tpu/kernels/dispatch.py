@@ -19,6 +19,11 @@ Selection policy:
   cannot load or cannot handle the shapes **raises** — never a silent
   fallback (round-1 shipped a phantom kernel precisely because the old
   ``except ImportError: pass`` hid it).
+
+Exception: ``depth_to_normal`` has NO pallas path anymore — the jnp conv
+formulation beats the fused kernel on TPU at every batch size, so the
+kernel was demoted to a reference artifact in round 3 (see the function
+docstring); ``set_backend("pallas")`` governs only ops that kept a kernel.
 """
 
 from __future__ import annotations
@@ -112,7 +117,8 @@ def cost_volume_shapes_supported(H: int, W: int, num_planes: int, C: int = 3) ->
 
 
 def normal_shapes_supported(H: int, W: int, k_size: int) -> bool:
-    """Shape contract of kernels/normals_pallas.py."""
+    """Shape contract of kernels/normals_pallas.py (the demoted artifact —
+    kept for its direct importers/tests; dispatch never routes to it)."""
     return W % _LANE == 0 and H % 8 == 0 and k_size % 2 == 1
 
 
@@ -178,20 +184,23 @@ def cost_volume(ref_images, src_images, ref_cam, src_cam, idepth_scale=3.0,
 def depth_to_normal(depth, intrinsics_inv, k_size=9, backend=None):
     """Depth -> unit normals ``[B, H, W, 3]`` (+ points; see ops.normals).
 
-    Auto mode picks **jnp** even on TPU: the conv-based jnp formulation is
-    faster than the fused Pallas kernel there (measured on v5e @ 192x256/k9:
-    jnp 0.10 ms vs Pallas 1.38 ms at B=16 — XLA fuses the monomials into
-    MXU-efficient depthwise convs, while the kernel's unaligned stencil
-    shifts cost sublane/lane relayouts; tools/bench_normals.py). The kernel
-    remains available via backend="pallas" / set_backend.
+    Always the jnp conv-based formulation — on TPU it IS the fast path
+    (measured on v5e @ 192x256/k9: jnp 0.10 ms vs the fused Pallas kernel's
+    1.38 ms at B=16; XLA fuses the monomials into MXU-efficient depthwise
+    convs and is ~70% of the HBM roofline, while the kernel's unaligned
+    stencil shifts pay sublane/lane relayouts that dominate at batch —
+    tools/bench_normals.py). The kernel was therefore DEMOTED out of the
+    dispatch surface in round 3: it survives as a correctness-tested
+    reference artifact (`kernels/normals_pallas.py`, import it directly),
+    and requesting ``backend="pallas"`` here is an error rather than a
+    silent slow path.
     """
-    explicit = backend is not None or _FORCED is not None
-    if not explicit:
-        return _normal_ops.depth_to_normal(depth, intrinsics_inv, k_size)
-    H, W = depth.shape[1], depth.shape[2]
-    b = _resolve(backend, normal_shapes_supported(H, W, k_size), "depth_to_normal")
-    if b == "pallas":
-        fn = _import_kernel("normals_pallas", "depth_to_normal_pallas", explicit)
-        if fn is not None:
-            return fn(depth, intrinsics_inv, k_size)
+    if backend == "pallas":
+        raise ValueError(
+            "the Pallas depth->normal kernel is a demoted reference artifact "
+            "(slower than the jnp conv formulation on TPU at batch; see "
+            "tools/bench_normals.py). Import "
+            "cnmnet_tpu.kernels.normals_pallas.depth_to_normal_pallas "
+            "directly if you really want it."
+        )
     return _normal_ops.depth_to_normal(depth, intrinsics_inv, k_size)

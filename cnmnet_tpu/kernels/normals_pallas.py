@@ -1,5 +1,15 @@
 """Depth -> surface normals as a fused Pallas TPU kernel.
 
+**STATUS: demoted reference artifact (round 3).** On v5e the jnp conv
+formulation in `ops/normals.py` wins at every batch size (0.10 ms vs this
+kernel's 1.38 ms at B=16, 192x256/k9 — the unaligned stencil shifts pay
+sublane/lane relayouts that dominate once XLA batches the depthwise convs
+onto the MXU; tools/bench_normals.py has the table). `kernels/dispatch.py`
+therefore never routes here; the module remains importable, correctness-
+tested against an f64 oracle (tests/test_pallas_kernels.py), and documented
+as the worked example of a fused stencil+solve VMEM kernel with a
+custom-VJP pairing.
+
 Same math as the jnp reference (`ops/normals.py`, itself the TPU-first
 rework of the reference's ``Depth2normal``, `depthnet/depth_util.py:140-240`):
 backproject depth, accumulate the nine k x k windowed monomial sums

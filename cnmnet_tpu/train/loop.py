@@ -42,7 +42,6 @@ def loss_weights_from_config(cfg: Config) -> LossWeights:
         prob_weight=cfg.train.prob_weight,
         include_prob_map_loss=cfg.train.include_prob_map_loss,
         k_size=cfg.model.k_size,
-        normal_backend=cfg.model.cv_backend,
     )
 
 
@@ -114,16 +113,37 @@ def make_train_step(cfg: Config, mesh: Optional[Mesh] = None) -> Callable:
             "instance_segs": 2,  # [B, S, H, W]
         }
 
+        multiprocess = jax.process_count() > 1
+
         def sharded_step(state, batch):
-            shardings = {}
+            specs, shardings = {}, {}
             for k, v in batch.items():
                 spec = ["data"] + [None] * (v.ndim - 1)
                 if tiled and k in h_dims:
                     spec[h_dims[k]] = "tile"
-                shardings[k] = NamedSharding(mesh, P(*spec))
-            batch = jax.device_put(batch, shardings)
+                specs[k] = P(*spec)
+                shardings[k] = NamedSharding(mesh, specs[k])
+            if multiprocess:
+                # each host holds its own shard of the global batch (the
+                # loader's shard_index/shard_count contract); assemble the
+                # global arrays instead of device_put-ing host data onto
+                # non-addressable devices
+                from jax.experimental import multihost_utils
+
+                batch = multihost_utils.host_local_array_to_global_array(
+                    batch, mesh, {k: specs[k] for k in batch}
+                )
+            else:
+                batch = jax.device_put(batch, shardings)
             if first_call[0]:
-                state = jax.device_put(state, repl)
+                if multiprocess:
+                    from jax.experimental import multihost_utils
+
+                    state = multihost_utils.host_local_array_to_global_array(
+                        state, mesh, P()
+                    )
+                else:
+                    state = jax.device_put(state, repl)
                 first_call[0] = False
             return jitted(state, batch)
 

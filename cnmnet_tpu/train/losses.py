@@ -62,7 +62,6 @@ class LossWeights:
     prob_weight: float = 20.0
     include_prob_map_loss: bool = False
     k_size: int = 9
-    normal_backend: str | None = None  # kernel dispatch override
 
 
 def compute_losses(
@@ -153,15 +152,9 @@ def compute_losses(
     # --- normal losses (full CNM recipe) ---------------------------------
     K = batch["cams"][:, 0, 1, 0:3, 0:3]
     K_inv = invert_intrinsics(K)
-    n01, _ = dispatch.depth_to_normal(
-        depth01[..., 0], K_inv, w.k_size, backend=w.normal_backend
-    )
-    n02, _ = dispatch.depth_to_normal(
-        depth02[..., 0], K_inv, w.k_size, backend=w.normal_backend
-    )
-    n_ref, _ = dispatch.depth_to_normal(
-        depth_refined[..., 0], K_inv, w.k_size, backend=w.normal_backend
-    )
+    n01, _ = dispatch.depth_to_normal(depth01[..., 0], K_inv, w.k_size)
+    n02, _ = dispatch.depth_to_normal(depth02[..., 0], K_inv, w.k_size)
+    n_ref, _ = dispatch.depth_to_normal(depth_refined[..., 0], K_inv, w.k_size)
 
     gt_normal = batch["normals"]
     if w.use_normal_refined_by_planes:

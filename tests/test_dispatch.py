@@ -49,22 +49,32 @@ class TestBackendSelection:
 
 
 class TestDispatchedOps:
-    def test_depth_to_normal_backends_agree(self, rng):
-        """The shipped normals kernel (interpret mode on CPU) must agree
-        with the jnp implementation. Angular tolerance: both are f32 and the
+    def test_depth_to_normal_artifact_agrees_with_jnp(self, rng):
+        """The demoted normals kernel (now a reference artifact, imported
+        directly — dispatch never routes to it) must still agree with the
+        shipped jnp implementation. Angular tolerance: both are f32 and the
         uncentered Gram solve amplifies rounding (see
         tests/test_pallas_kernels.py::TestNormalsPallas for the f64-oracle
         comparison)."""
+        from cnmnet_tpu.kernels.normals_pallas import depth_to_normal_pallas
+
         depth, K_inv = _normal_inputs(rng)
         a, _ = dispatch.depth_to_normal(depth, K_inv, 9, backend="jnp")
         with pltpu.force_tpu_interpret_mode():
-            b, _ = dispatch.depth_to_normal(depth, K_inv, 9, backend="pallas")
+            b, _ = depth_to_normal_pallas(depth, K_inv, 9)
         a, b = np.asarray(a), np.asarray(b)
         cos = (a * b).sum(-1) / np.maximum(
             np.linalg.norm(a, axis=-1) * np.linalg.norm(b, axis=-1), 1e-12
         )
         ang = np.degrees(np.arccos(np.clip(cos, -1, 1)))
         assert ang.max() < 2.0 and ang.mean() < 0.05, (ang.max(), ang.mean())
+
+    def test_depth_to_normal_pallas_request_raises(self, rng):
+        """backend='pallas' for normals is an error, not a silent slow
+        path — the kernel is demoted (round-3 VERDICT item 6)."""
+        depth, K_inv = _normal_inputs(rng)
+        with pytest.raises(ValueError, match="demoted reference artifact"):
+            dispatch.depth_to_normal(depth, K_inv, 9, backend="pallas")
 
     def test_cost_volume_jnp_backend(self, rng):
         from cnmnet_tpu.geometry.camera import Camera
@@ -78,11 +88,6 @@ class TestDispatchedOps:
 
 
 class TestLoudFailures:
-    def test_explicit_pallas_unsupported_shapes_raises(self, rng):
-        depth, K_inv = _normal_inputs(rng, H=16, W=100)  # W % 128 != 0
-        with pytest.raises(ValueError, match="does not support these shapes"):
-            dispatch.depth_to_normal(depth, K_inv, 5, backend="pallas")
-
     def test_explicit_pallas_cost_volume_odd_planes_pads(self, rng):
         """Unaligned plane counts ride the kernel's exact zero-pad path
         (round-2; the round-1 kernel asserted P % 8 == 0)."""
@@ -109,28 +114,37 @@ class TestLoudFailures:
             dispatch.cost_volume(ref, ref, cam, cam, 3.0, 64, backend="pallas")
 
     def test_global_force_counts_as_explicit(self, rng):
+        """set_backend('pallas') + shapes the cost-volume kernel cannot
+        serve (VMEM blowup) must raise, exactly like a per-call request."""
+        from cnmnet_tpu.geometry.camera import Camera
+
         dispatch.set_backend("pallas")
-        depth, K_inv = _normal_inputs(rng, H=16, W=100)
+        ref = jnp.zeros((1, 1024, 1408, 3), jnp.float32)
+        K = jnp.asarray([[10.0, 0, 704], [0, 10.0, 512], [0, 0, 1]])[None]
+        cam = Camera(extrinsic=jnp.eye(4)[None], intrinsic=K)
         with pytest.raises(ValueError, match="does not support these shapes"):
-            dispatch.depth_to_normal(depth, K_inv, 5)
+            dispatch.cost_volume(ref, ref, cam, cam, 3.0, 64)
 
     def test_explicit_pallas_broken_module_raises(self, rng, monkeypatch):
         """A kernel module that fails to import must raise when requested —
         the round-1 silent-fallback regression."""
+        from cnmnet_tpu.geometry.camera import Camera
 
         class Broken:
-            pass  # lacks depth_to_normal_pallas
+            pass  # lacks cost_volume_pallas
 
         monkeypatch.setitem(
-            sys.modules, "cnmnet_tpu.kernels.normals_pallas", Broken()
+            sys.modules, "cnmnet_tpu.kernels.cost_volume_pallas", Broken()
         )
-        depth, K_inv = _normal_inputs(rng)
+        ref = jnp.zeros((1, 16, 128, 3), jnp.float32)
+        K = jnp.asarray([[10.0, 0, 64], [0, 10.0, 8], [0, 0, 1]])[None]
+        cam = Camera(extrinsic=jnp.eye(4)[None], intrinsic=K)
         with pytest.raises(ImportError, match="failed to load"):
-            dispatch.depth_to_normal(depth, K_inv, 5, backend="pallas")
+            dispatch.cost_volume(ref, ref, cam, cam, 3.0, 8, backend="pallas")
 
-    def test_auto_mode_falls_back_silently_on_cpu(self, rng):
-        """No force, no explicit backend: unsupported shapes quietly use
-        jnp on CPU (the warning fires only on TPU)."""
+    def test_auto_mode_normals_always_jnp(self, rng):
+        """No force, no explicit backend: normals use jnp everywhere (the
+        kernel is demoted), including shapes the artifact couldn't serve."""
         depth, K_inv = _normal_inputs(rng, H=16, W=100)
         n, _ = dispatch.depth_to_normal(depth, K_inv, 5)
         assert n.shape == (1, 16, 100, 3)

@@ -59,6 +59,49 @@ def _run_workers(nprocs: int, tmp_path, timeout=900) -> dict:
         return json.load(f)
 
 
+def test_cli_two_process_train_smoke(tmp_path):
+    """The ACTUAL multi-host entry point: two `cnmnet_tpu.cli train`
+    processes joined via cfg.parallel.coordinator_address
+    (`cli.py` -> jax.distributed.initialize), 4 virtual CPU devices each,
+    global 8-way data mesh, 2 steps on synthetic data. Exercises the whole
+    stack the pure-step test bypasses: CLI config plumbing, per-host input
+    sharding, and the multiprocess global-array assembly in
+    train_loop.sharded_step."""
+    port = _free_port()
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["JAX_PLATFORM_NAME"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    env.pop("PYTHONPATH", None)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    procs = []
+    for pid in range(2):
+        procs.append(
+            subprocess.Popen(
+                [
+                    sys.executable, "-m", "cnmnet_tpu.cli", "train",
+                    "--synthetic", "--max-steps", "2",
+                    f"parallel.coordinator_address=127.0.0.1:{port}",
+                    "parallel.num_processes=2", f"parallel.process_id={pid}",
+                    "dataset.batch_size=4", "dataset.synthetic_size=8",
+                    "dataset.image_height=32", "dataset.image_width=64",
+                    "model.num_planes=8", "model.k_size=5",
+                    f"train.log_dir={tmp_path}/logs{pid}",
+                    f"train.checkpoint_dir={tmp_path}/ck{pid}",
+                ],
+                stdout=subprocess.PIPE,
+                stderr=subprocess.STDOUT,
+                text=True,
+                env=env,
+                cwd=repo,
+            )
+        )
+    outputs = [p.communicate(timeout=900)[0] for p in procs]
+    for p, text in zip(procs, outputs):
+        assert p.returncode == 0, f"cli worker failed:\n{text[-3000:]}"
+    assert "done: step 2" in outputs[0], outputs[0][-1500:]
+
+
 def test_two_process_step_matches_single_process(tmp_path):
     single = _run_workers(1, tmp_path)
     double = _run_workers(2, tmp_path)

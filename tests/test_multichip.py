@@ -12,6 +12,7 @@ the gate crashed on a GSPMD-inserted CollectivePermute rendezvous
   4×2 meshes (the two shapes the driver may pick).
 """
 
+import os
 import re
 
 import jax
@@ -88,6 +89,31 @@ class TestShardedTrainStep:
         mesh = make_mesh(data=4, tile=2)
         cfg = _cfg(batch_size=4)
         batch = _batch(4)
+        state = create_train_state(cfg, jax.random.PRNGKey(0), batch)
+        step = make_train_step(cfg, mesh=mesh)
+        state2, metrics = step(state, batch)
+        assert np.isfinite(float(jax.block_until_ready(metrics["loss"])))
+
+    @pytest.mark.skipif(
+        not os.environ.get("CNMNET_HEAVY_TESTS"),
+        reason="480x640 sharded-step compile takes tens of minutes on this "
+        "4-core CPU host; run explicitly with CNMNET_HEAVY_TESTS=1 "
+        "(validated green in round 3 — see RESULTS.md)",
+    )
+    def test_full_step_at_native_480x640(self):
+        """Native 7-Scenes sensor resolution (the reference resizes
+        predictions to 640x480 instead, `eval.py:1012-1020`): the FULL
+        train step at 480x640 with remat (`model.remat`) and spatial
+        tiling over a data x tile mesh must compile and execute with a
+        finite loss. Reduced planes/k keep the CPU-mesh cost bounded; the
+        resolution — the thing being validated — is native."""
+        mesh = make_mesh(data=1, tile=8)
+        cfg = _cfg(batch_size=1)
+        cfg.model.remat = True
+        cfg.model.num_planes = 4
+        cfg.train.use_normal_loss = False
+        cfg.dataset.image_height, cfg.dataset.image_width = 480, 640
+        batch = _batch(1, h=480, w=640)
         state = create_train_state(cfg, jax.random.PRNGKey(0), batch)
         step = make_train_step(cfg, mesh=mesh)
         state2, metrics = step(state, batch)

@@ -270,9 +270,11 @@ class TestCheckpointCadence:
 
         script = tmp_path / "victim.py"
         ckpt_dir = tmp_path / "ck"
+        repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         script.write_text(
             f"""
 import sys
+sys.path.insert(0, {repo_root!r})
 import jax
 import jax.numpy as jnp
 from cnmnet_tpu.config import Config
