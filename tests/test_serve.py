@@ -81,6 +81,28 @@ class TestBuckets:
         np.testing.assert_allclose(a["idepth"], b["idepth"], atol=5e-4)
 
 
+class TestMixedViewCounts:
+    def test_two_view_first_then_three_view(self, frames):
+        """A session whose FIRST request is 2-view must still serve a later
+        3-view request: variable init uses a >=3-view dummy regardless, so
+        RefineNet params exist (round-3 ADVICE fix — a 2-view init returned
+        before RefineNet and a later V>=3 predict crashed on missing
+        params)."""
+        images, cams = frames
+        session = InferenceSession(_cfg(), batch_buckets=(1,))
+        out2 = session.predict(images[:1, :2], cams[:1, :2])
+        assert "prob" not in out2  # 2-view path has no occlusion head
+        out3 = session.predict(images[:1], cams[:1])
+        assert out3["idepth"].shape == (1, H, W)
+        assert "prob" in out3
+
+    def test_session_does_not_mutate_caller_config(self):
+        cfg = _cfg()
+        before = cfg.model.compute_dtype
+        InferenceSession(cfg, batch_buckets=(1,))
+        assert cfg.model.compute_dtype == before
+
+
 class TestMicroBatcher:
     def test_coalesces_and_preserves_order(self, session, frames):
         images, cams = frames

@@ -285,7 +285,8 @@ from cnmnet_tpu.train.state import CNMTrainState
 def fake_make_train_step(cfg, mesh=None):
     def fake_step(state, batch):
         import time
-        time.sleep(0.05)
+        time.sleep(0.02)
+        print("STEP", int(state.step) + 1, flush=True)
         return state.replace(step=state.step + 1), {{"loss": jnp.asarray(1.0)}}
     return fake_step
 
@@ -336,7 +337,14 @@ sys.exit(1)
         try:
             line = proc.stdout.readline()
             assert "READY" in line, line
-            time.sleep(0.5)  # let a few fake steps run
+            # handshake: SIGTERM only after real training progress (a fixed
+            # sleep flaked under full-suite load — the signal landed before
+            # step 1 and the checkpoint was step 0)
+            deadline = time.monotonic() + 60
+            while time.monotonic() < deadline:
+                line = proc.stdout.readline()
+                if line.startswith("STEP") and int(line.split()[1]) >= 3:
+                    break
             proc.send_signal(signal.SIGTERM)
             out, _ = proc.communicate(timeout=120)
         finally:
