@@ -39,6 +39,7 @@ class DepthNet(nn.Module):
     norm: str = "batch"
     dtype: Any = jnp.float32
     remat: bool = False  # rematerialize encoder blocks (memory for FLOPs)
+    s2d: bool = False  # stride-2 convs via space-to-depth (see layers.py)
 
     @nn.compact
     def __call__(
@@ -50,6 +51,7 @@ class DepthNet(nn.Module):
         resolution, each [B, h, w, 1] in inverse-depth units.
         """
         kw = dict(norm=self.norm, dtype=self.dtype)
+        dkw = dict(s2d=self.s2d, **kw)
         # (rgb, volume) stays a tuple: the stem conv runs as a split
         # MultiInConv — same params/math as conv(concat(...)), but the
         # 64-plane volume keeps its 128-lane-aligned layout (the joint
@@ -62,11 +64,11 @@ class DepthNet(nn.Module):
             nn.remat(DownConvBlock, static_argnums=(2,)) if self.remat
             else DownConvBlock
         )
-        conv1 = Down(128, 7, **kw, name="DownConvBlock_0")(x, train)  # 1/2
-        conv2 = Down(256, 5, **kw, name="DownConvBlock_1")(conv1, train)  # 1/4
-        conv3 = Down(512, 3, **kw, name="DownConvBlock_2")(conv2, train)  # 1/8
-        conv4 = Down(512, 3, **kw, name="DownConvBlock_3")(conv3, train)  # 1/16
-        conv5 = Down(512, 3, **kw, name="DownConvBlock_4")(conv4, train)  # 1/32
+        conv1 = Down(128, 7, **dkw, name="DownConvBlock_0")(x, train)  # 1/2
+        conv2 = Down(256, 5, **dkw, name="DownConvBlock_1")(conv1, train)  # 1/4
+        conv3 = Down(512, 3, **dkw, name="DownConvBlock_2")(conv2, train)  # 1/8
+        conv4 = Down(512, 3, **dkw, name="DownConvBlock_3")(conv3, train)  # 1/16
+        conv5 = Down(512, 3, **dkw, name="DownConvBlock_4")(conv4, train)  # 1/32
 
         upconv5 = UpConvBlock(512, 3, **kw)(conv5, train)  # 1/16
         iconv5 = ConvNormAct(512, 3, **kw)(

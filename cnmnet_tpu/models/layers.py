@@ -71,6 +71,86 @@ class MultiInConv(nn.Module):
         return out
 
 
+def _phase_taps(k: int):
+    """Decompose a stride-2, pad-(k-1)//2 conv into per-phase stride-1 taps.
+
+    out[i] = sum_d x[2i + d - p] w[d] splits by the parity of o = d - p:
+    taps with o = 2m + ph read phase ph of the space-to-depth transform
+    (x_ph[j] = x[2j + ph]) at relative position m. Returns
+    (taps=[(ph, m, d)], PL, Kp): embedding tap d at row m + PL of a common
+    [Kp]-kernel with explicit padding (PL, Kp - PL - 1) reproduces the
+    strided conv exactly (zero padding maps to zero padding because the
+    input extent is even).
+    """
+    p = (k - 1) // 2
+    taps = []
+    for d in range(k):
+        o = d - p
+        ph = o % 2
+        taps.append((ph, (o - ph) // 2, d))
+    ms = [m for _, m, _ in taps]
+    return taps, -min(ms), max(ms) - min(ms) + 1
+
+
+class SpaceToDepthConv(nn.Module):
+    """Exact stride-2 conv computed as space-to-depth + stride-1 conv.
+
+    Same parameter (``kernel`` of shape [k, k, Cin, F]) and same output as
+    ``nn.Conv(F, (k, k), strides=2, padding=(k-1)//2, use_bias=False)`` on
+    even-extent inputs — checkpoint trees are unchanged and the flag can be
+    toggled freely. Why: the *input gradient* of a strided conv lowers to a
+    base-dilated convolution (the cotangent is zero-upsampled 2x2), which
+    the TPU executes over the inserted zeros; the s2d form's backward is a
+    dense stride-1 conv plus a reshape. The forward trades this for zeros
+    embedded in the rearranged kernel (nominal FLOP factor Kp^2*4/k^2:
+    1.31x at k=7, 1.44x at k=5, 1.78x at k=3), so it is a measured trade,
+    not a free win — see tools/bwd_probe.py and RESULTS.md for the numbers
+    that decide the default.
+    """
+
+    features: int
+    kernel: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        from jax import lax
+
+        B, H, W, C = x.shape
+        assert H % 2 == 0 and W % 2 == 0, (H, W)
+        w = self.param(
+            "kernel", conv_init, (self.kernel, self.kernel, C, self.features)
+        )
+        w = w.astype(self.dtype)
+        x = x.astype(self.dtype)
+        taps, PL, Kp = _phase_taps(self.kernel)
+
+        # x2[b, i, j, (phh*2 + phw)*C + c] = x[b, 2i + phh, 2j + phw, c]
+        x2 = x.reshape(B, H // 2, 2, W // 2, 2, C)
+        x2 = x2.transpose(0, 1, 3, 2, 4, 5).reshape(B, H // 2, W // 2, 4 * C)
+
+        # rearrange w into the matching [Kp, Kp, 4C, F] stride-1 kernel
+        subs = []
+        for phh in (0, 1):
+            wh = jnp.zeros((Kp,) + w.shape[1:], w.dtype)
+            for ph, m, d in taps:
+                if ph == phh:
+                    wh = wh.at[m + PL].set(w[d])
+            for phw in (0, 1):
+                whw = jnp.zeros((Kp, Kp) + w.shape[2:], w.dtype)
+                for ph, m, d in taps:
+                    if ph == phw:
+                        whw = whw.at[:, m + PL].set(wh[:, d])
+                subs.append(whw)
+        w2 = jnp.stack(subs, axis=2).reshape(Kp, Kp, 4 * C, self.features)
+
+        dn = lax.conv_dimension_numbers(x2.shape, w2.shape, ("NHWC", "HWIO", "NHWC"))
+        pad = (PL, Kp - PL - 1)
+        return lax.conv_general_dilated(
+            x2, w2, (1, 1), [pad, pad], dimension_numbers=dn
+        )
+
+
 class ConvNormAct(nn.Module):
     """conv (no bias) + norm [+ relu].
 
@@ -85,6 +165,7 @@ class ConvNormAct(nn.Module):
     act: bool = True
     norm: str = "batch"
     dtype: Any = jnp.float32
+    s2d: bool = False  # stride-2 via SpaceToDepthConv (same params)
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -93,6 +174,10 @@ class ConvNormAct(nn.Module):
             x = MultiInConv(
                 self.features, self.kernel, self.stride, dtype=self.dtype,
                 name="Conv_0",
+            )(x)
+        elif self.stride == 2 and self.s2d:
+            x = SpaceToDepthConv(
+                self.features, self.kernel, dtype=self.dtype, name="Conv_0"
             )(x)
         else:
             x = nn.Conv(
@@ -125,15 +210,17 @@ class DownConvBlock(nn.Module):
     kernel: int
     norm: str = "batch"
     dtype: Any = jnp.float32
+    s2d: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         x = ConvNormAct(self.features, self.kernel, 1, norm=self.norm, dtype=self.dtype)(
             x, train
         )
-        x = ConvNormAct(self.features, self.kernel, 2, norm=self.norm, dtype=self.dtype)(
-            x, train
-        )
+        x = ConvNormAct(
+            self.features, self.kernel, 2, norm=self.norm, dtype=self.dtype,
+            s2d=self.s2d,
+        )(x, train)
         return x
 
 

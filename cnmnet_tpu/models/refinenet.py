@@ -49,6 +49,7 @@ class DepthRefineNet(nn.Module):
     idepth_scale: float = 3.0
     norm: str = "batch"
     dtype: Any = jnp.float32
+    s2d: bool = False  # stride-2 convs via space-to-depth (see layers.py)
 
     @nn.compact
     def __call__(
@@ -70,9 +71,10 @@ class DepthRefineNet(nn.Module):
         )
 
         kw = dict(norm=self.norm, dtype=self.dtype)
-        conv1 = DownConvBlock(128, 3, **kw)(x, train)
-        conv2 = DownConvBlock(256, 3, **kw)(conv1, train)
-        conv3 = DownConvBlock(512, 3, **kw)(conv2, train)
+        dkw = dict(s2d=self.s2d, **kw)
+        conv1 = DownConvBlock(128, 3, **dkw)(x, train)
+        conv2 = DownConvBlock(256, 3, **dkw)(conv1, train)
+        conv3 = DownConvBlock(512, 3, **dkw)(conv2, train)
 
         disp_refined, iconv1_depth = _DecoderBranch(
             self.norm, self.dtype, self.idepth_scale, name="depth_branch"

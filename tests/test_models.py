@@ -152,3 +152,63 @@ class TestMultiInConv:
         )
         assert jax.tree_util.tree_structure(v_split) == jax.tree_util.tree_structure(v_joint)
         assert v_split["params"]["Conv_0"]["kernel"].shape == (7, 7, 67, 32)
+
+
+class TestSpaceToDepthConv:
+    """model.s2d rewrites stride-2 convs as space-to-depth + stride-1 conv.
+
+    It must be exact (same params, outputs, and VJPs) so the flag can be
+    toggled on any checkpoint; it exists purely as a backward-pass layout
+    trade (reference: the stride-2 encoder convs in the torch models,
+    /root/reference/models/net_builder.py down_conv blocks)."""
+
+    @pytest.mark.parametrize("k", [3, 5, 7])
+    def test_matches_strided_conv_and_grads(self, rng, k):
+        import flax.linen as nn
+        from cnmnet_tpu.models.layers import SpaceToDepthConv, conv_init
+
+        x = jnp.asarray(rng.standard_normal((2, 12, 20, 9)), jnp.float32)
+        ref = nn.Conv(
+            16, (k, k), strides=2, padding=(k - 1) // 2, use_bias=False,
+            kernel_init=conv_init,
+        )
+        pv = ref.init(jax.random.PRNGKey(0), x)
+        s2d = SpaceToDepthConv(16, k)
+        np.testing.assert_allclose(
+            np.asarray(s2d.apply(pv, x)), np.asarray(ref.apply(pv, x)),
+            atol=1e-5, rtol=1e-5,
+        )
+        # weight and input cotangents agree too (the whole point is the
+        # backward — it must stay the same function)
+        loss_ref = lambda p, x: jnp.sum(jnp.sin(ref.apply(p, x)))
+        loss_s2d = lambda p, x: jnp.sum(jnp.sin(s2d.apply(p, x)))
+        gw_ref, gx_ref = jax.grad(loss_ref, argnums=(0, 1))(pv, x)
+        gw_s2d, gx_s2d = jax.grad(loss_s2d, argnums=(0, 1))(pv, x)
+        np.testing.assert_allclose(
+            np.asarray(gw_s2d["params"]["kernel"]),
+            np.asarray(gw_ref["params"]["kernel"]), atol=5e-5, rtol=1e-4,
+        )
+        np.testing.assert_allclose(
+            np.asarray(gx_s2d), np.asarray(gx_ref), atol=1e-5, rtol=1e-4
+        )
+
+    def test_full_model_equivalence_and_param_tree(self, rng):
+        """CNMModel(s2d=True) computes the same function from the same
+        checkpoint tree as the default model."""
+        images = jnp.asarray(rng.standard_normal((1, 3, H, W, 3)), jnp.float32)
+        cams = tiny_cams(1, 3, rng)
+        base = CNMModel(num_planes=16, cv_backend="jnp")
+        vs = base.init(jax.random.PRNGKey(0), images, cams, train=False)
+        s2d = CNMModel(num_planes=16, cv_backend="jnp", s2d=True)
+        vs2 = s2d.init(jax.random.PRNGKey(0), images, cams, train=False)
+        assert jax.tree_util.tree_structure(vs) == jax.tree_util.tree_structure(vs2)
+        out_base = base.apply(vs, images, cams, train=False)
+        out_s2d = s2d.apply(vs, images, cams, train=False)
+        np.testing.assert_allclose(
+            np.asarray(out_s2d.idepth_refined),
+            np.asarray(out_base.idepth_refined), atol=2e-4, rtol=1e-3,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_s2d.disps[0]), np.asarray(out_base.disps[0]),
+            atol=2e-4, rtol=1e-3,
+        )

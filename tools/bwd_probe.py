@@ -44,6 +44,8 @@ VARIANTS = {
     "no_normals": ["train.use_normal_loss=false"],
     "k5": ["model.k_size=5"],
     "f32": ["model.compute_dtype=float32"],
+    "s2d": ["model.s2d=true"],
+    "s2d_remat": ["model.s2d=true", "model.remat=true"],
 }
 
 
