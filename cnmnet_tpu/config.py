@@ -57,9 +57,11 @@ class ModelConfig:
     compute_dtype: str = "float32"  # "bfloat16" on TPU for speed
     use_refiner: bool = True  # False: DepthNet-only staged pretraining
     remat: bool = False  # rematerialize the DepthNet encoder in backward
-    s2d: bool = False  # stride-2 convs as space-to-depth + dense stride-1
-    # conv (identical params/outputs; trades backward-input dilation for
-    # kernel zero-padding — see models/layers.py:SpaceToDepthConv)
+    stride2: str = "conv"  # stride-2 conv impl (identical params/outputs):
+    # "conv" = XLA strided conv; "s2d" = space-to-depth + dense stride-1
+    # (measured slower at batch 8 — forward FLOP inflation); "psg" = plain
+    # forward with a phase-split input-gradient custom VJP (avoids the
+    # zero-dilated backward conv). See models/layers.py + RESULTS.md.
     cv_backend: Optional[str] = None  # kernel dispatch: None=auto, jnp, pallas
     sampling: str = "exact"  # cost-volume sampling convention; "torch"
     # reproduces the reference's era grid_sample (u*(S-1)/S) for imported

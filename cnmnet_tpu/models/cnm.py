@@ -53,17 +53,17 @@ class CNMModel(nn.Module):
     use_refiner: bool = True  # False: DepthNet-only (the reference's staged
     # pretraining; its published checkpoint is a disparity-only DepthNet)
     remat: bool = False  # checkpoint the DepthNet encoder (for large batches)
-    s2d: bool = False  # stride-2 convs via space-to-depth (same params; a
-    # backward-pass layout trade measured in tools/bwd_probe.py)
+    stride2: str = "conv"  # stride-2 conv impl: conv | s2d | psg (same
+    # params; backward-pass trades measured in tools/bwd_probe.py)
 
     def setup(self):
         self.depth_net = DepthNet(
             idepth_scale=self.idepth_scale, norm=self.norm, dtype=self.dtype,
-            remat=self.remat, s2d=self.s2d,
+            remat=self.remat, stride2=self.stride2,
         )
         self.refine_net = DepthRefineNet(
             idepth_scale=self.idepth_scale, norm=self.norm, dtype=self.dtype,
-            s2d=self.s2d,
+            stride2=self.stride2,
         )
 
     def __call__(

@@ -39,7 +39,7 @@ class DepthNet(nn.Module):
     norm: str = "batch"
     dtype: Any = jnp.float32
     remat: bool = False  # rematerialize encoder blocks (memory for FLOPs)
-    s2d: bool = False  # stride-2 convs via space-to-depth (see layers.py)
+    stride2: str = "conv"  # stride-2 conv impl: conv | s2d | psg (layers.py)
 
     @nn.compact
     def __call__(
@@ -51,7 +51,7 @@ class DepthNet(nn.Module):
         resolution, each [B, h, w, 1] in inverse-depth units.
         """
         kw = dict(norm=self.norm, dtype=self.dtype)
-        dkw = dict(s2d=self.s2d, **kw)
+        dkw = dict(stride2=self.stride2, **kw)
         # (rgb, volume) stays a tuple: the stem conv runs as a split
         # MultiInConv — same params/math as conv(concat(...)), but the
         # 64-plane volume keeps its 128-lane-aligned layout (the joint

@@ -17,6 +17,7 @@ choices:
 
 from __future__ import annotations
 
+import functools
 from typing import Any
 
 import jax
@@ -151,6 +152,112 @@ class SpaceToDepthConv(nn.Module):
         )
 
 
+def _grad_phase_taps(k: int, ph: int):
+    """Taps of the stride-2 input gradient's phase-``ph`` stride-1 conv.
+
+    dx[2m + ph] = sum_r ybar[m + r] w[p + ph - 2r] with p = (k-1)//2: for a
+    fixed input-pixel parity the contributing kernel taps stride by 2, so
+    the gradient w.r.t. that phase is a DENSE stride-1 correlation of the
+    cotangent with those taps — no zero-dilated cotangent anywhere. Returns
+    (ds, pad_lo, pad_hi): tap indices d in conv-kernel order and the lhs
+    padding that makes ``conv(ybar, w[ds], stride 1)`` compute the sum.
+    """
+    p = (k - 1) // 2
+    r_min = -((k - 1 - p - ph) // 2)
+    r_max = (p + ph) // 2
+    ds = [p + ph - 2 * r for r in range(r_min, r_max + 1)]
+    return ds, -r_min, r_max
+
+
+def _plain_conv_s2(x, w, k):
+    from jax import lax
+
+    p = (k - 1) // 2
+    dn = lax.conv_dimension_numbers(x.shape, w.shape, ("NHWC", "HWIO", "NHWC"))
+    return lax.conv_general_dilated(
+        x, w, (2, 2), [(p, p), (p, p)], dimension_numbers=dn
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def conv_s2_psg(x, w, k):
+    """Stride-2 conv whose input gradient is computed phase-split.
+
+    Forward: the plain strided conv (same FLOPs, params, and output as
+    ``nn.Conv(..., strides=2)``). Backward: XLA lowers a strided conv's
+    input gradient to a base-dilated conv over the 2x2-zero-upsampled
+    cotangent (4x nominal MACs on zeros on the MXU); here dx is instead
+    four dense stride-1 convs of the cotangent with the per-parity kernel
+    taps (`_grad_phase_taps`), interleaved depth-to-space — exactly the
+    nominal FLOP count. dw keeps XLA's standard transpose (a
+    window-strided correlation, no dilation involved). Exactness is pinned
+    by tests/test_models.py; the chip numbers live in tools/bwd_probe.py
+    and RESULTS.md.
+    """
+    return _plain_conv_s2(x, w, k)
+
+
+def _psg_fwd(x, w, k):
+    return _plain_conv_s2(x, w, k), (x, w)
+
+
+def _psg_bwd(k, res, ybar):
+    from jax import lax
+
+    x, w = res
+    B, H, W, C = x.shape
+    _, vjp_w = jax.vjp(lambda ww: _plain_conv_s2(x, ww, k), w)
+    (dw,) = vjp_w(ybar)
+
+    phases = []
+    for ph_h in (0, 1):
+        dsh, plh, phh = _grad_phase_taps(k, ph_h)
+        for ph_w in (0, 1):
+            dsw, plw, phw = _grad_phase_taps(k, ph_w)
+            # v[rh, rw, f, c] = w[d_h(rh), d_w(rw), c, f] — static slices
+            v = jnp.stack(
+                [jnp.stack([w[dh, dw_] for dw_ in dsw], 0) for dh in dsh], 0
+            )
+            v = jnp.transpose(v, (0, 1, 3, 2))
+            dn = lax.conv_dimension_numbers(
+                ybar.shape, v.shape, ("NHWC", "HWIO", "NHWC")
+            )
+            phases.append(
+                lax.conv_general_dilated(
+                    ybar, v, (1, 1), [(plh, phh), (plw, phw)],
+                    dimension_numbers=dn,
+                )
+            )
+    st = jnp.stack(phases, axis=3).reshape(B, H // 2, W // 2, 2, 2, C)
+    dx = st.transpose(0, 1, 3, 2, 4, 5).reshape(B, H, W, C)
+    return dx, dw
+
+
+conv_s2_psg.defvjp(_psg_fwd, _psg_bwd)
+
+
+class PhaseSplitGradConv(nn.Module):
+    """Stride-2 conv with the phase-split input gradient (`conv_s2_psg`).
+
+    Same parameter tree and forward as the strided ``nn.Conv``; only the
+    VJP differs (by value it is the same function). ``model.stride2="psg"``
+    selects it throughout DepthNet/RefineNet.
+    """
+
+    features: int
+    kernel: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        B, H, W, C = x.shape
+        assert H % 2 == 0 and W % 2 == 0, (H, W)
+        w = self.param(
+            "kernel", conv_init, (self.kernel, self.kernel, C, self.features)
+        )
+        return conv_s2_psg(x.astype(self.dtype), w.astype(self.dtype), self.kernel)
+
+
 class ConvNormAct(nn.Module):
     """conv (no bias) + norm [+ relu].
 
@@ -165,7 +272,7 @@ class ConvNormAct(nn.Module):
     act: bool = True
     norm: str = "batch"
     dtype: Any = jnp.float32
-    s2d: bool = False  # stride-2 via SpaceToDepthConv (same params)
+    stride2: str = "conv"  # stride-2 impl: conv | s2d | psg (same params)
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -175,8 +282,9 @@ class ConvNormAct(nn.Module):
                 self.features, self.kernel, self.stride, dtype=self.dtype,
                 name="Conv_0",
             )(x)
-        elif self.stride == 2 and self.s2d:
-            x = SpaceToDepthConv(
+        elif self.stride == 2 and self.stride2 != "conv":
+            impl = {"s2d": SpaceToDepthConv, "psg": PhaseSplitGradConv}[self.stride2]
+            x = impl(
                 self.features, self.kernel, dtype=self.dtype, name="Conv_0"
             )(x)
         else:
@@ -210,7 +318,7 @@ class DownConvBlock(nn.Module):
     kernel: int
     norm: str = "batch"
     dtype: Any = jnp.float32
-    s2d: bool = False
+    stride2: str = "conv"
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -219,7 +327,7 @@ class DownConvBlock(nn.Module):
         )
         x = ConvNormAct(
             self.features, self.kernel, 2, norm=self.norm, dtype=self.dtype,
-            s2d=self.s2d,
+            stride2=self.stride2,
         )(x, train)
         return x
 

@@ -49,7 +49,7 @@ class DepthRefineNet(nn.Module):
     idepth_scale: float = 3.0
     norm: str = "batch"
     dtype: Any = jnp.float32
-    s2d: bool = False  # stride-2 convs via space-to-depth (see layers.py)
+    stride2: str = "conv"  # stride-2 conv impl: conv | s2d | psg (layers.py)
 
     @nn.compact
     def __call__(
@@ -71,7 +71,7 @@ class DepthRefineNet(nn.Module):
         )
 
         kw = dict(norm=self.norm, dtype=self.dtype)
-        dkw = dict(s2d=self.s2d, **kw)
+        dkw = dict(stride2=self.stride2, **kw)
         conv1 = DownConvBlock(128, 3, **dkw)(x, train)
         conv2 = DownConvBlock(256, 3, **dkw)(conv1, train)
         conv3 = DownConvBlock(512, 3, **dkw)(conv2, train)

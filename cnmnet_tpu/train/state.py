@@ -87,7 +87,7 @@ def build_model(cfg: Config) -> CNMModel:
         sampling=cfg.model.sampling,
         use_refiner=cfg.model.use_refiner,
         remat=cfg.model.remat,
-        s2d=cfg.model.s2d,
+        stride2=cfg.model.stride2,
     )
 
 

@@ -154,18 +154,23 @@ class TestMultiInConv:
         assert v_split["params"]["Conv_0"]["kernel"].shape == (7, 7, 67, 32)
 
 
-class TestSpaceToDepthConv:
-    """model.s2d rewrites stride-2 convs as space-to-depth + stride-1 conv.
+class TestStride2Impls:
+    """model.stride2 selects exact rewrites of the stride-2 convs:
+    "s2d" = space-to-depth + dense stride-1 (different forward lowering),
+    "psg" = plain forward with a phase-split input-gradient custom VJP.
 
-    It must be exact (same params, outputs, and VJPs) so the flag can be
-    toggled on any checkpoint; it exists purely as a backward-pass layout
-    trade (reference: the stride-2 encoder convs in the torch models,
-    /root/reference/models/net_builder.py down_conv blocks)."""
+    Both must be exact (same params, outputs, AND VJPs) so the knob can be
+    toggled on any checkpoint; they exist purely as backward-pass lowering
+    trades (reference: the stride-2 encoder convs in the torch models,
+    /root/reference/depthnet/depthNet_model.py down_conv blocks)."""
 
+    @pytest.mark.parametrize("impl", ["s2d", "psg"])
     @pytest.mark.parametrize("k", [3, 5, 7])
-    def test_matches_strided_conv_and_grads(self, rng, k):
+    def test_matches_strided_conv_and_grads(self, rng, k, impl):
         import flax.linen as nn
-        from cnmnet_tpu.models.layers import SpaceToDepthConv, conv_init
+        from cnmnet_tpu.models.layers import (
+            PhaseSplitGradConv, SpaceToDepthConv, conv_init,
+        )
 
         x = jnp.asarray(rng.standard_normal((2, 12, 20, 9)), jnp.float32)
         ref = nn.Conv(
@@ -173,42 +178,68 @@ class TestSpaceToDepthConv:
             kernel_init=conv_init,
         )
         pv = ref.init(jax.random.PRNGKey(0), x)
-        s2d = SpaceToDepthConv(16, k)
+        mod = {"s2d": SpaceToDepthConv, "psg": PhaseSplitGradConv}[impl](16, k)
         np.testing.assert_allclose(
-            np.asarray(s2d.apply(pv, x)), np.asarray(ref.apply(pv, x)),
+            np.asarray(mod.apply(pv, x)), np.asarray(ref.apply(pv, x)),
             atol=1e-5, rtol=1e-5,
         )
         # weight and input cotangents agree too (the whole point is the
         # backward — it must stay the same function)
         loss_ref = lambda p, x: jnp.sum(jnp.sin(ref.apply(p, x)))
-        loss_s2d = lambda p, x: jnp.sum(jnp.sin(s2d.apply(p, x)))
+        loss_mod = lambda p, x: jnp.sum(jnp.sin(mod.apply(p, x)))
         gw_ref, gx_ref = jax.grad(loss_ref, argnums=(0, 1))(pv, x)
-        gw_s2d, gx_s2d = jax.grad(loss_s2d, argnums=(0, 1))(pv, x)
+        gw_mod, gx_mod = jax.grad(loss_mod, argnums=(0, 1))(pv, x)
         np.testing.assert_allclose(
-            np.asarray(gw_s2d["params"]["kernel"]),
+            np.asarray(gw_mod["params"]["kernel"]),
             np.asarray(gw_ref["params"]["kernel"]), atol=5e-5, rtol=1e-4,
         )
         np.testing.assert_allclose(
-            np.asarray(gx_s2d), np.asarray(gx_ref), atol=1e-5, rtol=1e-4
+            np.asarray(gx_mod), np.asarray(gx_ref), atol=1e-5, rtol=1e-4
         )
 
-    def test_full_model_equivalence_and_param_tree(self, rng):
-        """CNMModel(s2d=True) computes the same function from the same
+    @pytest.mark.parametrize("impl", ["s2d", "psg"])
+    def test_full_model_equivalence_and_param_tree(self, rng, impl):
+        """CNMModel(stride2=impl) computes the same function from the same
         checkpoint tree as the default model."""
         images = jnp.asarray(rng.standard_normal((1, 3, H, W, 3)), jnp.float32)
         cams = tiny_cams(1, 3, rng)
         base = CNMModel(num_planes=16, cv_backend="jnp")
         vs = base.init(jax.random.PRNGKey(0), images, cams, train=False)
-        s2d = CNMModel(num_planes=16, cv_backend="jnp", s2d=True)
-        vs2 = s2d.init(jax.random.PRNGKey(0), images, cams, train=False)
+        alt = CNMModel(num_planes=16, cv_backend="jnp", stride2=impl)
+        vs2 = alt.init(jax.random.PRNGKey(0), images, cams, train=False)
         assert jax.tree_util.tree_structure(vs) == jax.tree_util.tree_structure(vs2)
         out_base = base.apply(vs, images, cams, train=False)
-        out_s2d = s2d.apply(vs, images, cams, train=False)
+        out_alt = alt.apply(vs, images, cams, train=False)
         np.testing.assert_allclose(
-            np.asarray(out_s2d.idepth_refined),
+            np.asarray(out_alt.idepth_refined),
             np.asarray(out_base.idepth_refined), atol=2e-4, rtol=1e-3,
         )
         np.testing.assert_allclose(
-            np.asarray(out_s2d.disps[0]), np.asarray(out_base.disps[0]),
+            np.asarray(out_alt.disps[0]), np.asarray(out_base.disps[0]),
             atol=2e-4, rtol=1e-3,
         )
+
+    def test_psg_train_grads_match_end_to_end(self, rng):
+        """Full-model parameter gradients with stride2="psg" equal the
+        default model's (the custom VJP composes with BN/remat/losses)."""
+        images = jnp.asarray(rng.standard_normal((1, 3, H, W, 3)), jnp.float32)
+        cams = tiny_cams(1, 3, rng)
+        base = CNMModel(num_planes=16, cv_backend="jnp")
+        vs = base.init(jax.random.PRNGKey(0), images, cams, train=True)
+        psg = CNMModel(num_planes=16, cv_backend="jnp", stride2="psg")
+
+        def loss(model, params):
+            out, _ = model.apply(
+                {"params": params, "batch_stats": vs["batch_stats"]},
+                images, cams, train=True, mutable=["batch_stats"],
+            )
+            return jnp.mean(out.idepth_refined) + jnp.mean(out.disps[0])
+
+        g_base = jax.grad(lambda p: loss(base, p))(vs["params"])
+        g_psg = jax.grad(lambda p: loss(psg, p))(vs["params"])
+        flat_b = jax.tree_util.tree_leaves(g_base)
+        flat_p = jax.tree_util.tree_leaves(g_psg)
+        for a, b in zip(flat_b, flat_p):
+            np.testing.assert_allclose(
+                np.asarray(b), np.asarray(a), atol=5e-5, rtol=5e-3
+            )

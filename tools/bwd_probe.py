@@ -44,8 +44,10 @@ VARIANTS = {
     "no_normals": ["train.use_normal_loss=false"],
     "k5": ["model.k_size=5"],
     "f32": ["model.compute_dtype=float32"],
-    "s2d": ["model.s2d=true"],
-    "s2d_remat": ["model.s2d=true", "model.remat=true"],
+    "s2d": ["model.stride2=s2d"],
+    "s2d_remat": ["model.stride2=s2d", "model.remat=true"],
+    "psg": ["model.stride2=psg"],
+    "psg_remat": ["model.stride2=psg", "model.remat=true"],
 }
 
 

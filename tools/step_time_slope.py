@@ -10,8 +10,10 @@ for several K; the *slope* d wall / dK is the true per-step device time,
 with the round-trip and dispatch overheads in the intercept.
 
 Usage: python tools/step_time_slope.py [batch] [Ks, default 4,16,48]
+           [--height H --width W] [dotted.overrides=...]
 """
 
+import argparse
 import os
 import sys
 import time
@@ -31,17 +33,27 @@ from __graft_entry__ import _tiny_batch
 
 
 def main():
-    batch_size = int(sys.argv[1]) if len(sys.argv) > 1 else 2
-    ks = [int(k) for k in (sys.argv[2] if len(sys.argv) > 2 else "4,16,48").split(",")]
+    ap = argparse.ArgumentParser()
+    ap.add_argument("batch", nargs="?", type=int, default=2)
+    ap.add_argument("ks", nargs="?", default="4,16,48")
+    ap.add_argument("--height", type=int, default=192)
+    ap.add_argument("--width", type=int, default=256)
+    ap.add_argument("overrides", nargs="*", default=[])
+    args = ap.parse_args()
+    batch_size = args.batch
+    ks = [int(k) for k in args.ks.split(",")]
     cfg = apply_overrides(
         Config(),
         [
             f"dataset.batch_size={batch_size}",
+            f"dataset.image_height={args.height}",
+            f"dataset.image_width={args.width}",
             "model.num_planes=64",
             "model.compute_dtype=bfloat16",
-        ],
+        ]
+        + args.overrides,
     )
-    batch = _tiny_batch(batch_size, height=192, width=256)
+    batch = _tiny_batch(batch_size, height=args.height, width=args.width)
     state = create_train_state(cfg, jax.random.PRNGKey(0), batch)
     step = make_train_step(cfg)
     batch = jax.device_put(batch)
