@@ -98,6 +98,28 @@ def _interp1d(rows: jnp.ndarray, pos: jnp.ndarray, width: int, valid_hi: int):
     return v0 * w0 + v1 * w1
 
 
+def _tile(extent: int) -> int:
+    """Largest sublane tile in {32, 16, 8} dividing ``extent``.
+
+    The two resampling passes iterate fori_loops whose bodies gather
+    [tile, width] blocks; at tile=8 the scalar core's loop orchestration
+    (~59 iterations/plane at 192x256) is a measurable fraction of the
+    kernel, so both passes run the widest tile their extent allows —
+    same gathers, same math, up to 8x fewer loop iterations (lane width
+    stays 128; only the sublane count grows, which Mosaic vectorizes
+    freely). Measured on the v5e (tools/bench_cv.py): 0.80 (tile 8) ->
+    0.54 (32) -> 0.50 ms/pair (64) at batch; B=1 noisy but >= as fast.
+    CNMNET_CV_TILE_MAX caps it (bench A/B only).
+    """
+    import os
+
+    cap = int(os.environ.get("CNMNET_CV_TILE_MAX", "64"))
+    for t in (64, 32, 16, 8):
+        if t <= cap and extent % t == 0:
+            return t
+    return 8
+
+
 def _make_kernel(
     H8: int, W: int, Hp: int, C: int, PC: int, out_dtype, HB: int, RB: int
 ):
@@ -115,7 +137,9 @@ def _make_kernel(
     ~1.5x at the flagship shape: doubled grid steps and padded rows).
     """
     eps = 1e-8
-    row_blocks = RB // 8  # ref/out rows per band (H8 in the 1-band path)
+    VT = _tile(W)  # pass-V source-column tile
+    HT = _tile(RB)  # pass-H output-row tile
+    row_blocks = RB // HT  # ref/out row tiles per band
 
     def kernel(coef_ref, ref_img_ref, src_t_ref, out_ref):
         (
@@ -138,14 +162,14 @@ def _make_kernel(
                 az = r22 + ktz * idp
 
                 # ---- pass V: A^T[u, i] = src[Y(i, u), u], i in band ----
-                u_s = jax.lax.broadcasted_iota(jnp.int32, (8, HB), 0).astype(jnp.float32)
-                i_l = jax.lax.broadcasted_iota(jnp.int32, (8, HB), 1)
+                u_s = jax.lax.broadcasted_iota(jnp.int32, (VT, HB), 0).astype(jnp.float32)
+                i_l = jax.lax.broadcasted_iota(jnp.int32, (VT, HB), 1)
                 if banded:
                     i_l = i_l + row0
                 i_l = i_l.astype(jnp.float32)
 
                 def col_block(ub, _):
-                    u = u_s + (ub * 8).astype(jnp.float32)
+                    u = u_s + (ub * VT).astype(jnp.float32)
                     bx = r01 * i_l + ax
                     bz = r21 * i_l + az
                     den_j = r00 - r20 * u
@@ -156,37 +180,37 @@ def _make_kernel(
                     Y = (r10 * jj + r11 * i_l + ay) / den_y
                     Y = jnp.clip(Y, -2.0, jnp.float32(Hp))
                     for c in range(C):
-                        cols = src_t_ref[0, c, pl.ds(ub * 8, 8), :]  # [8, Hp]
-                        a_t[c, pl.ds(ub * 8, 8), :] = _interp1d(cols, Y, Hp, H8)
+                        cols = src_t_ref[0, c, pl.ds(ub * VT, VT), :]  # [VT, Hp]
+                        a_t[c, pl.ds(ub * VT, VT), :] = _interp1d(cols, Y, Hp, H8)
                     return _
 
-                jax.lax.fori_loop(0, W // 8, col_block, 0)
+                jax.lax.fori_loop(0, W // VT, col_block, 0)
 
                 # ---- transpose A^T [C, W, HB] -> A [C, HB, W] ----------
                 for c in range(C):
                     a[c, :, :] = a_t[c, :, :].T
 
                 # ---- pass H + cost over the band's valid rows ----------
-                i_s = jax.lax.broadcasted_iota(jnp.int32, (8, W), 0).astype(jnp.float32)
-                j_l = jax.lax.broadcasted_iota(jnp.int32, (8, W), 1).astype(jnp.float32)
+                i_s = jax.lax.broadcasted_iota(jnp.int32, (HT, W), 0).astype(jnp.float32)
+                j_l = jax.lax.broadcasted_iota(jnp.int32, (HT, W), 1).astype(jnp.float32)
 
                 def row_block(ib, _):
-                    off = row0 + ib * 8 if banded else ib * 8
+                    off = row0 + ib * HT if banded else ib * HT
                     i = i_s + off.astype(jnp.float32)
                     numx = r00 * j_l + r01 * i + ax
                     den = r20 * j_l + r21 * i + az
                     behind = den <= eps
                     den = jnp.where(jnp.abs(den) < eps, eps, den)
                     x = jnp.clip(numx / den, -2.0, jnp.float32(W))
-                    cost = jnp.zeros((8, W), jnp.float32)
+                    cost = jnp.zeros((HT, W), jnp.float32)
                     for c in range(C):
-                        rows = a[c, pl.ds(ib * 8, 8), :]  # [8, W]
+                        rows = a[c, pl.ds(ib * HT, HT), :]  # [HT, W]
                         vals = _interp1d(rows, x, W, W)
                         vals = jnp.where(behind, 0.0, vals)
                         cost = cost + jnp.abs(
-                            vals - ref_img_ref[0, c, pl.ds(ib * 8, 8), :]
+                            vals - ref_img_ref[0, c, pl.ds(ib * HT, HT), :]
                         )
-                    out_ref[0, k, pl.ds(ib * 8, 8), :] = cost.astype(out_dtype)
+                    out_ref[0, k, pl.ds(ib * HT, HT), :] = cost.astype(out_dtype)
                     return _
 
                 # Static bound: single-band (HB == Hp) stops exactly at

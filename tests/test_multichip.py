@@ -83,6 +83,27 @@ class TestShardedTrainStep:
         )
         assert moved, "Adam update did not change any parameter"
 
+    def test_psg_step_runs_sharded_and_matches(self):
+        """stride2="psg" under GSPMD: custom VJPs can silently break
+        partitioning (the bwd is user code GSPMD must still shard), so the
+        full data-parallel train step with the phase-split gradient must
+        (a) execute on a mesh with finite loss and (b) produce the same
+        loss as stride2="conv" from the same init (identical forward; the
+        VJP difference only reorders fp sums)."""
+        mesh = make_mesh(data=4, tile=2)
+        losses = {}
+        for impl in ("conv", "psg"):
+            cfg = _cfg(batch_size=4)
+            cfg.model.stride2 = impl
+            batch = _batch(4)
+            state = create_train_state(cfg, jax.random.PRNGKey(0), batch)
+            state, batch = _place_data_parallel(mesh, state, batch)
+            step = make_train_step(cfg, mesh=None)
+            state2, metrics = step(state, batch)
+            losses[impl] = float(jax.block_until_ready(metrics["loss"]))
+            assert np.isfinite(losses[impl]), (impl, metrics)
+        np.testing.assert_allclose(losses["psg"], losses["conv"], rtol=1e-4)
+
     def test_mesh_path_step_runs_tiled(self):
         """make_train_step(cfg, mesh=...) with tile>1: the intentional
         spatial-partitioning path (GSPMD halo exchange) must execute."""
