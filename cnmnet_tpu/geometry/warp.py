@@ -102,8 +102,15 @@ def bilinear_sample_dense(
     ix = jnp.arange(W, dtype=image.dtype)
     wy = jnp.maximum(0.0, 1.0 - jnp.abs(yq[:, None] - iy[None, :]))  # [Q, H]
     wx = jnp.maximum(0.0, 1.0 - jnp.abs(xq[:, None] - ix[None, :]))  # [Q, W]
-    tmp = jnp.einsum("qh,hwc->qwc", wy, image, precision=_F32)
-    out = jnp.einsum("qw,qwc->qc", wx, tmp, precision=_F32)
+    # HIGH (bf16x3 ~ f32 accuracy), not HIGHEST (bf16x6): these two MXU
+    # matmuls and their VJPs were the largest non-conv spans of the train
+    # step (fusion.74/71/44/46 in RESULTS.md "Backward profile" — the
+    # warped-depth loss is the only train-path caller), and the hat
+    # weights/depths need f32-level accuracy, not exact-f32 reproduction.
+    # The position MATH (pixel2cam/cam2pixel) stays HIGHEST.
+    hi = lax.Precision.HIGH
+    tmp = jnp.einsum("qh,hwc->qwc", wy, image, precision=hi)
+    out = jnp.einsum("qw,qwc->qc", wx, tmp, precision=hi)
     return out.reshape(out_shape + (C,))
 
 
