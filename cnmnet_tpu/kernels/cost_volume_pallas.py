@@ -179,9 +179,17 @@ def _make_kernel(
                     den_y = jnp.where(jnp.abs(den_y) < eps, eps, den_y)
                     Y = (r10 * jj + r11 * i_l + ay) / den_y
                     Y = jnp.clip(Y, -2.0, jnp.float32(Hp))
-                    for c in range(C):
-                        cols = src_t_ref[0, c, pl.ds(ub * VT, VT), :]  # [VT, Hp]
-                        a_t[c, pl.ds(ub * VT, VT), :] = _interp1d(cols, Y, Hp, H8)
+                    # channel-stacked gather: one [C*VT, Hp] interp instead
+                    # of C separate ones — same elements, 3x fewer gather/
+                    # select sequences (the positions are channel-invariant)
+                    cols = src_t_ref[0, :, pl.ds(ub * VT, VT), :]  # [C, VT, Hp]
+                    stacked = _interp1d(
+                        cols.reshape(C * VT, Hp),
+                        jnp.concatenate([Y] * C, axis=0),
+                        Hp,
+                        H8,
+                    )
+                    a_t[:, pl.ds(ub * VT, VT), :] = stacked.reshape(C, VT, HB)
                     return _
 
                 jax.lax.fori_loop(0, W // VT, col_block, 0)
@@ -202,14 +210,19 @@ def _make_kernel(
                     behind = den <= eps
                     den = jnp.where(jnp.abs(den) < eps, eps, den)
                     x = jnp.clip(numx / den, -2.0, jnp.float32(W))
-                    cost = jnp.zeros((HT, W), jnp.float32)
-                    for c in range(C):
-                        rows = a[c, pl.ds(ib * HT, HT), :]  # [HT, W]
-                        vals = _interp1d(rows, x, W, W)
-                        vals = jnp.where(behind, 0.0, vals)
-                        cost = cost + jnp.abs(
-                            vals - ref_img_ref[0, c, pl.ds(ib * HT, HT), :]
-                        )
+                    # channel-stacked horizontal interp (as in pass V)
+                    rows = a[:, pl.ds(ib * HT, HT), :]  # [C, HT, W]
+                    vals = _interp1d(
+                        rows.reshape(C * HT, W),
+                        jnp.concatenate([x] * C, axis=0),
+                        W,
+                        W,
+                    ).reshape(C, HT, W)
+                    vals = jnp.where(behind[None], 0.0, vals)
+                    cost = jnp.sum(
+                        jnp.abs(vals - ref_img_ref[0, :, pl.ds(ib * HT, HT), :]),
+                        axis=0,
+                    )
                     out_ref[0, k, pl.ds(ib * HT, HT), :] = cost.astype(out_dtype)
                     return _
 
