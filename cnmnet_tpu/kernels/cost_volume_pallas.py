@@ -98,23 +98,26 @@ def _interp1d(rows: jnp.ndarray, pos: jnp.ndarray, width: int, valid_hi: int):
     return v0 * w0 + v1 * w1
 
 
-def _tile(extent: int) -> int:
-    """Largest sublane tile in {32, 16, 8} dividing ``extent``.
+def _tile(extent: int, cap: int = 128) -> int:
+    """Largest sublane tile in {128, ..., 8} dividing ``extent``, <= ``cap``.
 
     The two resampling passes iterate fori_loops whose bodies gather
     [tile, width] blocks; at tile=8 the scalar core's loop orchestration
     (~59 iterations/plane at 192x256) is a measurable fraction of the
     kernel, so both passes run the widest tile their extent allows —
-    same gathers, same math, up to 8x fewer loop iterations (lane width
+    same gathers, same math, up to 16x fewer loop iterations (lane width
     stays 128; only the sublane count grows, which Mosaic vectorizes
     freely). Measured on the v5e (tools/bench_cv.py): 0.80 (tile 8) ->
-    0.54 (32) -> 0.50 ms/pair (64) at batch; B=1 noisy but >= as fast.
-    CNMNET_CV_TILE_MAX caps it (bench A/B only).
+    0.54 (32) -> 0.50 (64) -> 0.48 ms/pair (128) at batch; B=1 noisy but
+    >= as fast. The banded (large-resolution) path caps at 64: tile-128
+    gather temporaries at W=640 push the Mosaic stack past the 16 MB
+    scoped-VMEM limit (measured OOM at 480x640; 64 fits with room).
+    CNMNET_CV_TILE_MAX lowers the cap further (bench A/B only).
     """
     import os
 
-    cap = int(os.environ.get("CNMNET_CV_TILE_MAX", "64"))
-    for t in (64, 32, 16, 8):
+    cap = min(cap, int(os.environ.get("CNMNET_CV_TILE_MAX", "128")))
+    for t in (128, 64, 32, 16, 8):
         if t <= cap and extent % t == 0:
             return t
     return 8
@@ -137,8 +140,9 @@ def _make_kernel(
     ~1.5x at the flagship shape: doubled grid steps and padded rows).
     """
     eps = 1e-8
-    VT = _tile(W)  # pass-V source-column tile
-    HT = _tile(RB)  # pass-H output-row tile
+    tile_cap = 64 if HB != Hp else 128  # banded: see _tile's VMEM note
+    VT = _tile(W, tile_cap)  # pass-V source-column tile
+    HT = _tile(RB, tile_cap)  # pass-H output-row tile
     row_blocks = RB // HT  # ref/out row tiles per band
 
     def kernel(coef_ref, ref_img_ref, src_t_ref, out_ref):

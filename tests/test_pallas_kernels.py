@@ -89,6 +89,20 @@ class TestCostVolumePallas:
             fast = np.asarray(cost_volume_pallas(ref, src, c1, c2, 3.0, 8))
         np.testing.assert_allclose(got, fast, rtol=0, atol=1e-6)
 
+    def test_tile_cap_contract(self, monkeypatch):
+        """Sublane-tile selection: widest divisor <= cap. The banded path
+        passes cap=64 (tile-128 gather temporaries at W=640 measured OOM
+        past the 16 MB scoped-VMEM limit on the v5e — RESULTS.md), the
+        unbanded path 128; CNMNET_CV_TILE_MAX only lowers."""
+        from cnmnet_tpu.kernels.cost_volume_pallas import _tile
+
+        assert _tile(256) == 128          # unbanded default cap
+        assert _tile(256, 64) == 64       # banded structural cap
+        assert _tile(192) == 64           # 128 does not divide 192
+        assert _tile(40) == 8             # fallback floor
+        monkeypatch.setenv("CNMNET_CV_TILE_MAX", "16")
+        assert _tile(256) == 16           # env lowers below both caps
+
     def test_bf16_output(self, rng):
         """out_dtype=bfloat16 rounds only the writeback: values equal the
         f32 output to bf16 resolution."""

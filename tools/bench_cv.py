@@ -72,8 +72,7 @@ def ab_check():
     assert err < 1e-5, err
 
 
-def bench(batches):
-    H, W, P = 192, 256, 64
+def bench(batches, H=192, W=256, P=64):
     rng = np.random.default_rng(0)
     print("| B | ms/call | ms/pair |\n|---|---|---|")
     for B in batches:
@@ -93,11 +92,17 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batches", default="1,8,16")
     ap.add_argument("--skip-ab", action="store_true")
+    ap.add_argument("--height", type=int, default=192)
+    ap.add_argument("--width", type=int, default=256)
+    ap.add_argument("--planes", type=int, default=64)
     args = ap.parse_args()
     print("platform:", jax.devices()[0].platform)
     if not args.skip_ab:
         ab_check()
-    bench([int(b) for b in args.batches.split(",")])
+    bench(
+        [int(b) for b in args.batches.split(",")],
+        H=args.height, W=args.width, P=args.planes,
+    )
 
 
 if __name__ == "__main__":
