@@ -41,6 +41,18 @@ def _parse(argv):
                    help="frames per batched forward (data-parallel inference)")
     e.add_argument("overrides", nargs="*")
 
+    cm = sub.add_parser(
+        "cal-metrics",
+        help="re-aggregate metrics over a saved eval artifact dir "
+             "(the reference's standalone cal_metrics, eval.py:995-1090)",
+    )
+    cm.add_argument("data_dir", help="artifact root: <scene>/<seq>/{pred,gt}_depth")
+    cm.add_argument("--gt-root", default=None,
+                    help="7-Scenes dataset root; GT read from its depth.png "
+                         "instead of the saved gt_depth npy (reference exact)")
+    cm.add_argument("--min-depth", type=float, default=0.3)
+    cm.add_argument("--max-depth", type=float, default=8.0)
+
     es = sub.add_parser("eval-scannet", help="ScanNet test-set evaluation")
     es.add_argument("--config", default=None)
     es.add_argument("--checkpoint", default=None)
@@ -257,6 +269,21 @@ def cmd_eval(args) -> int:
         state = mgr.restore(args.checkpoint, state)
     variables = {"params": state.params, "batch_stats": state.batch_stats}
 
+    # Multi-chip data-parallel eval: shard the frame batch over a "data"
+    # mesh whenever more than one device can take an even share of it
+    # (the batched protocol loops, `eval.py:635-663`, scaled over chips).
+    import math
+
+    mesh = None
+    n_dev = len(jax.devices())
+    if args.frame_batch > 1 and n_dev > 1:
+        data = math.gcd(args.frame_batch, n_dev)
+        if data > 1:
+            from cnmnet_tpu.parallel.mesh import make_mesh
+
+            mesh = make_mesh(data=data, tile=1, devices=jax.devices()[:data])
+            print(f"eval mesh: data={data}")
+
     forward = make_eval_forward(model, variables, k_size=cfg.model.k_size)
     result = evaluate_seven_scenes(
         forward,
@@ -267,10 +294,26 @@ def cmd_eval(args) -> int:
         save_dir=args.save_dir,
         max_frames_per_seq=args.max_frames_per_seq,
         frame_batch=args.frame_batch,
+        mesh=mesh,
         wire_dtype=cfg.dataset.wire_dtype,
     )
     for k, v in result.items():
         print(f"{k}: {v:.4f}")
+    return 0
+
+
+def cmd_cal_metrics(args) -> int:
+    from cnmnet_tpu.evals.cal_metrics import cal_metrics
+
+    result = cal_metrics(
+        args.data_dir,
+        gt_root=args.gt_root,
+        min_depth=args.min_depth,
+        max_depth=args.max_depth,
+    )
+    for k, v in result.items():
+        print(f"{k}: {v:.4f}")
+    print(f"wrote {args.data_dir}/evaluation_errors.txt")
     return 0
 
 
@@ -452,6 +495,7 @@ def main(argv=None) -> int:
     return {
         "train": cmd_train,
         "eval": cmd_eval,
+        "cal-metrics": cmd_cal_metrics,
         "eval-scannet": cmd_eval_scannet,
         "bench": cmd_bench,
         "infer": cmd_infer,

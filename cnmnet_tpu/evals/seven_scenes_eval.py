@@ -73,22 +73,10 @@ def aggregate_metrics(per_frame: List[Dict[str, float]]) -> Dict[str, float]:
 def _frame_metrics(pred_depth: np.ndarray, gt_depth: np.ndarray,
                    min_depth=0.3, max_depth=8.0) -> Dict[str, float]:
     """cal_metrics parity for one frame: resize pred to GT, clamp, mask."""
-    try:
-        import cv2
+    from cnmnet_tpu.evals.cal_metrics import frame_metrics
 
-        H, W = gt_depth.shape
-        pred = cv2.resize(pred_depth, (W, H), interpolation=cv2.INTER_LINEAR)
-    except ImportError:
-        from PIL import Image
-
-        pred = np.asarray(
-            Image.fromarray(pred_depth).resize(
-                (gt_depth.shape[1], gt_depth.shape[0]), Image.BILINEAR
-            )
-        )
-    pred = np.clip(pred, min_depth, max_depth)
-    mask = M.compute_valid_depth_mask(gt_depth, min_thred=min_depth, max_thred=max_depth)
-    return M.compute_errors(pred[mask], gt_depth[mask])
+    return frame_metrics(pred_depth, gt_depth, min_depth=min_depth,
+                         max_depth=max_depth)
 
 
 def _save_frame_artifacts(save_dir, p, idepth, prob_map, normal):

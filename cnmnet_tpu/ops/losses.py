@@ -4,8 +4,10 @@ Parity targets (reference file:line):
 * ``masked_l1``            — `depthnet/losses.py:30-48` (``IdepthLoss``)
 * ``multiscale_idepth_loss``— `depthnet/losses.py:7-27` (``IdepthLoss_234``)
 * ``prob_weighted_l1``     — `depthnet/losses.py:51-73` (``IdepthwithProbLoss``)
-* ``surface_normal_loss``  — `depthnet/losses.py:76-122` (vectorized over the
-  batch instead of the reference's per-sample Python loop, `train.py:226-263`)
+* ``surface_normal_loss``  — `depthnet/losses.py:76-122`, with the
+  reference's per-sample loop reduction (`train.py:226-263`) expressed as a
+  vectorized per-sample masked mean, averaged over the batch — exact
+  semantics, no valid-count weighting across samples
 * ``prob_supervision_loss``— reconstruction of the ``ProbLoss`` class that is
   imported at `train.py:30` but missing from the repo (SURVEY.md §2.16): from
   its call site (`train.py:197`) it returns ``(loss, prob_map_gt)`` where the
@@ -111,19 +113,26 @@ def surface_normal_loss(
 ):
     """Cosine loss between normal maps over valid & finite pixels.
 
+    Reduction matches the reference's per-sample loop exactly
+    (`train.py:226-263` calls `losses.py:76-122` on ``[i:i+1]`` slices and
+    averages the per-sample means): each sample's ``1 - cos`` is mean-reduced
+    over ITS OWN valid pixels, then the per-sample means are averaged over
+    the batch. A sample with zero valid pixels makes the reference's empty
+    masked-select mean NaN — reproduced here as a constant-NaN ``where``
+    branch (gradient-safe) so the train loop's NaN guard (`train.py:275-282`)
+    fires identically.
+
     Args:
       pred, gt: ``[B, H, W, 3]``.
       valid: ``[B, H, W]`` bool.
       probability_map: optional ``[B, H, W]`` weights.
 
     Returns:
-      (loss, mean_angle_degrees) — both scalars, reduced over the whole
-      batch (the reference loops samples and averages; with every sample
-      carrying the same H*W this is the same up to per-sample valid-count
-      weighting, noted for the parity audit).
+      (loss, mean_angle_degrees) — both scalars.
     """
     finite = jnp.isfinite(jnp.sum(gt, axis=-1)) & jnp.isfinite(jnp.sum(pred, axis=-1))
-    mask = (valid & finite).astype(pred.dtype)
+    mask_b = valid & finite
+    mask = mask_b.astype(pred.dtype)
 
     # Sanitize before any arithmetic: NaN/inf gt values (the reference's
     # normals carry NaNs, `losses.py:86-88`) poison gradients even through
@@ -138,16 +147,25 @@ def surface_normal_loss(
     gn = jnp.sqrt(jnp.sum(jnp.square(gt), axis=-1) + eps * eps)
     cos = dot / jnp.maximum(pn * gn, eps)
 
+    count = jnp.sum(mask, axis=(1, 2))  # [B]
+    safe_count = jnp.maximum(count, 1.0)
     if probability_map is None:
-        loss = _masked_mean(1.0 - cos, mask)
+        per_sample = (
+            jnp.sum(jnp.where(mask_b, 1.0 - cos, 0.0), axis=(1, 2)) / safe_count
+        )
     else:
         w = probability_map * mask
-        loss = jnp.sum(jnp.where(mask > 0, (1.0 - cos) * w, 0.0)) / jnp.maximum(
-            jnp.sum(w), eps
-        )
+        per_sample = jnp.sum(
+            jnp.where(mask_b, (1.0 - cos) * w, 0.0), axis=(1, 2)
+        ) / jnp.maximum(jnp.sum(w, axis=(1, 2)), eps)
+    all_nonempty = jnp.all(count > 0)
+    loss = jnp.where(all_nonempty, jnp.mean(per_sample), jnp.nan)
 
     ang = jnp.arccos(jnp.clip(cos, -1.0, 1.0))
-    mean_angle = _masked_mean(ang, mask) / jnp.pi * 180.0
+    ang_per_sample = jnp.sum(jnp.where(mask_b, ang, 0.0), axis=(1, 2)) / safe_count
+    mean_angle = (
+        jnp.where(all_nonempty, jnp.mean(ang_per_sample), jnp.nan) / jnp.pi * 180.0
+    )
     return loss, mean_angle
 
 

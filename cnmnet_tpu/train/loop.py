@@ -262,6 +262,12 @@ def train_loop(
                         )
                 prev_loss = metrics["loss"]
                 if max_steps and global_step >= max_steps:
+                    # every exit path leaves a resumable checkpoint — a
+                    # --max-steps run included (idempotent if the interval
+                    # save just fired at this step).
+                    if checkpointer is not None:
+                        checkpointer.save(state, step=global_step)
+                        checkpointer.wait()
                     return state
                 if (
                     checkpointer is not None

@@ -98,6 +98,41 @@ class TestABParity:
         )
         assert float(np.max(np.abs(ours - vol_ref))) < 2e-3
 
+    def test_surface_normal_loss_matches_reference_loop(self, nets):
+        """Our batched surface_normal_loss vs the reference's actual
+        per-sample loop (`train.py:226-263` slicing into `losses.py:76-122`)
+        on ragged valid masks — exact reduction parity."""
+        import jax.numpy as jnp
+
+        sys.path.insert(0, REFERENCE_ROOT)
+        from depthnet.losses import surface_normal_loss as ref_snl
+
+        from cnmnet_tpu.ops.losses import surface_normal_loss
+
+        rng = np.random.default_rng(11)
+        B, h, w = 3, 8, 12
+        pred = rng.standard_normal((B, h, w, 3)).astype(np.float32)
+        gt = rng.standard_normal((B, h, w, 3)).astype(np.float32)
+        gt[0, 0, 0] = np.nan  # the reference's normals carry NaNs
+        valid = rng.random((B, h, w)) < np.asarray([0.9, 0.3, 0.05])[:, None, None]
+        valid[2].flat[:2] = True  # keep every sample non-empty
+
+        ref_losses, ref_angs = [], []
+        for i in range(B):
+            li, ai = ref_snl(
+                torch.from_numpy(pred[i : i + 1].transpose(0, 3, 1, 2)),
+                torch.from_numpy(gt[i : i + 1].transpose(0, 3, 1, 2)),
+                torch.from_numpy(valid[i : i + 1, None]),
+            )
+            ref_losses.append(float(li))
+            ref_angs.append(float(ai))
+
+        ours_loss, ours_ang = surface_normal_loss(
+            jnp.asarray(pred), jnp.asarray(gt), jnp.asarray(valid)
+        )
+        assert float(ours_loss) == pytest.approx(np.mean(ref_losses), abs=1e-5)
+        assert float(ours_ang) == pytest.approx(np.mean(ref_angs), abs=1e-3)
+
     def test_exact_sampling_differs_from_oracle(self, nets, batch):
         """Sanity: the knob matters — exact-u sampling deviates from the
         era oracle by the documented sub-pixel convention delta."""

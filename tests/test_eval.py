@@ -240,6 +240,74 @@ class TestHarness:
             ), num_sources
 
 
+class TestCalMetrics:
+    """The standalone artifact re-scorer (`eval.py:995-1090` parity)."""
+
+    @pytest.fixture()
+    def artifact_dir(self, mock_seven_scenes, tmp_path):
+        def biased(images, cams):
+            import jax.numpy as jnp
+
+            B, V, h, w, _ = images.shape
+            return jnp.full((B, h, w, 1), 1.0 / 3.0)
+
+        inline = evaluate_seven_scenes(
+            _fwd(biased),
+            mock_seven_scenes,
+            num_sources=2,
+            image_height=48,
+            image_width=64,
+            max_frames_per_seq=3,
+            seqs=[("chess", "seq-03")],
+            save_dir=str(tmp_path),
+        )
+        return str(tmp_path), inline
+
+    def test_rescoring_matches_inline_metrics(self, artifact_dir):
+        from cnmnet_tpu.evals.cal_metrics import cal_metrics
+
+        save_dir, inline = artifact_dir
+        rescored = cal_metrics(save_dir, write_txt=False)
+        assert rescored["frames"] == inline["frames"]
+        for k in ("l1", "abs_rel", "sq_rel", "rmse", "rmse_log",
+                  "scale_inv", "a1", "a2", "a3"):
+            # saved pred uses the reference's 1/(idepth+1e-4) conversion vs
+            # the inline 1e-8 epsilon -> ~1e-3 drift on depth-scale metrics
+            assert rescored[k] == pytest.approx(inline[k], rel=5e-3, abs=1e-3), k
+
+    def test_gt_root_path_matches_saved_npy(self, artifact_dir, mock_seven_scenes):
+        """Reading GT from the dataset's depth.png (the reference's exact
+        source) must agree with the saved native-res gt_depth npy."""
+        from cnmnet_tpu.evals.cal_metrics import cal_metrics
+
+        save_dir, _ = artifact_dir
+        from_npy = cal_metrics(save_dir, write_txt=False)
+        from_png = cal_metrics(save_dir, gt_root=mock_seven_scenes, write_txt=False)
+        for k in ("l1", "abs_rel", "rmse", "a1"):
+            assert from_png[k] == pytest.approx(from_npy[k], rel=1e-6), k
+
+    def test_writes_reference_format_txt(self, artifact_dir):
+        from cnmnet_tpu.evals.cal_metrics import cal_metrics
+
+        save_dir, _ = artifact_dir
+        cal_metrics(save_dir)
+        txt = open(os.path.join(save_dir, "evaluation_errors.txt")).read()
+        lines = txt.strip().split("\n")
+        labels = [l.split(":")[0] for l in lines]
+        assert labels == [
+            "mean_l1_error", "a<1.25", "a<1.25^2", "a<1.25^3",
+            "abs.rel", "sq.rel", "rmse", "rmse log", "scale.inv",
+        ]
+
+    def test_cli_entry(self, artifact_dir, capsys):
+        from cnmnet_tpu.cli import main
+
+        save_dir, _ = artifact_dir
+        assert main(["cal-metrics", save_dir]) == 0
+        out = capsys.readouterr().out
+        assert "abs_rel" in out and "evaluation_errors.txt" in out
+
+
 class TestScanNetPlaneEval:
     def test_oracle_depth_maxes_recalls(self):
         """Feeding GT depth as the prediction: induced planes coincide with

@@ -102,6 +102,50 @@ class TestSurfaceNormalLoss:
         assert np.isfinite(float(loss))
         assert float(loss) == pytest.approx(0.0, abs=1e-6)
 
+    def test_per_sample_reduction_matches_reference_loop(self):
+        """The batch reduction must equal the reference's per-sample loop
+        (`train.py:226-263`): mean over samples of per-sample masked means —
+        NOT a pooled mean over all valid pixels (which weights samples by
+        their valid-pixel count)."""
+        rng = np.random.default_rng(3)
+        pred = rng.standard_normal((3, 4, 5, 3)).astype(np.float32)
+        gt = rng.standard_normal((3, 4, 5, 3)).astype(np.float32)
+        # ragged valid masks: 18, 5, and 1 valid pixels
+        valid = np.zeros((3, 4, 5), bool)
+        valid[0].flat[:18] = True
+        valid[1].flat[:5] = True
+        valid[2].flat[:1] = True
+        batched, batched_ang = surface_normal_loss(
+            jnp.asarray(pred), jnp.asarray(gt), jnp.asarray(valid)
+        )
+        per = [
+            surface_normal_loss(
+                jnp.asarray(pred[i : i + 1]),
+                jnp.asarray(gt[i : i + 1]),
+                jnp.asarray(valid[i : i + 1]),
+            )
+            for i in range(3)
+        ]
+        loop_loss = np.mean([float(l) for l, _ in per])
+        loop_ang = np.mean([float(a) for _, a in per])
+        assert float(batched) == pytest.approx(loop_loss, rel=1e-5)
+        assert float(batched_ang) == pytest.approx(loop_ang, rel=1e-5)
+        # and it must DIFFER from the pooled reduction on ragged masks
+        cos = np.sum(pred * gt, -1) / np.maximum(
+            np.linalg.norm(pred, axis=-1) * np.linalg.norm(gt, axis=-1), 1e-8
+        )
+        pooled = np.mean((1.0 - cos)[valid])
+        assert float(batched) != pytest.approx(pooled, rel=1e-3)
+
+    def test_empty_sample_yields_nan_like_reference(self):
+        """A sample with zero valid pixels NaNs the reference's empty
+        masked-select mean; the train loop's guard relies on seeing that."""
+        n = jnp.tile(jnp.asarray([0.0, 0.0, 1.0]), (2, 2, 2, 1))
+        valid = jnp.asarray([[[True, True], [True, True]], [[False] * 2] * 2])
+        loss, ang = surface_normal_loss(n, n, valid)
+        assert not np.isfinite(float(loss))
+        assert not np.isfinite(float(ang))
+
     def test_prob_weighted(self):
         a = jnp.tile(jnp.asarray([0.0, 0.0, 1.0]), (1, 1, 2, 1))
         b = jnp.concatenate(

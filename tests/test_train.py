@@ -258,6 +258,43 @@ class TestCheckpointCadence:
         loop_mod.train_loop(cfg, data, logger=None, checkpointer=Recorder())
         assert saved == [2, 4, 5]
 
+    def test_max_steps_exit_saves(self, tiny_batch, monkeypatch, tmp_path):
+        """A --max-steps run must end checkpointed even when the interval
+        doesn't align (VERDICT r3 weak #5): max_steps=3 with interval 2
+        saves at 2 (interval) and 3 (exit)."""
+        from cnmnet_tpu.train import loop as loop_mod
+
+        def fake_make_train_step(cfg, mesh=None):
+            def fake_step(state, batch):
+                return state.replace(step=state.step + 1), {"loss": jnp.asarray(1.0)}
+
+            return fake_step
+
+        monkeypatch.setattr(loop_mod, "make_train_step", fake_make_train_step)
+
+        saved = []
+
+        class Recorder:
+            def save(self, state, step=None):
+                saved.append(int(step))
+
+            def wait(self):
+                pass
+
+        def data():
+            for _ in range(10):
+                yield tiny_batch
+
+        cfg = Config()
+        cfg.model.num_planes = 8
+        cfg.train.num_epochs = 1
+        cfg.train.ckpt_interval = 2
+        state = loop_mod.train_loop(
+            cfg, data, logger=None, checkpointer=Recorder(), max_steps=3
+        )
+        assert saved == [2, 3]
+        assert int(state.step) == 3
+
     def test_sigterm_leaves_resumable_checkpoint(self, tmp_path):
         """kill -TERM mid-train must leave a resumable checkpoint (real
         process-level signal delivery, the preemption path the reference
