@@ -29,7 +29,7 @@ import numpy as np
 V100_BASELINE_FPS = 10.0
 
 
-def main():
+def main(height: int = 192, width: int = 256):
     import jax
 
     from cnmnet_tpu.cache import enable_compilation_cache
@@ -43,7 +43,7 @@ def main():
     from __graft_entry__ import _tiny_batch
 
     platform = jax.devices()[0].platform
-    batch = _tiny_batch(1, height=192, width=256)
+    batch = _tiny_batch(1, height=height, width=width)
 
     dtype = jnp.bfloat16 if platform != "cpu" else jnp.float32
     model = CNMModel(num_planes=64, dtype=dtype)
@@ -77,7 +77,8 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "3view_refined_fps_per_chip",
+                "metric": "3view_refined_fps_per_chip"
+                + ("" if (height, width) == (192, 256) else f"_{height}x{width}"),
                 "value": round(fps, 3),
                 "unit": "frames/s",
                 "vs_baseline": round(fps / V100_BASELINE_FPS, 3),
@@ -93,4 +94,10 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--height", type=int, default=192)
+    ap.add_argument("--width", type=int, default=256)
+    a = ap.parse_args()
+    main(height=a.height, width=a.width)

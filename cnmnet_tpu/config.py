@@ -56,7 +56,12 @@ class ModelConfig:
     norm: str = "batch"
     compute_dtype: str = "float32"  # "bfloat16" on TPU for speed
     use_refiner: bool = True  # False: DepthNet-only staged pretraining
-    remat: bool = False  # rematerialize the DepthNet encoder in backward
+    remat: bool = False  # rematerialize DepthNet encoder stages in backward
+    remat_stages: int = -1  # how many encoder stages (from the input side,
+    # where activations are largest) to checkpoint when remat=True: -1 = all
+    # five (the round-3 behavior); 1-5 = selective (e.g. 2 checkpoints only
+    # the two high-resolution stages — most of the memory for a fraction of
+    # the re-FLOPs). Ignored when remat=False.
     stride2: str = "conv"  # stride-2 conv impl (identical params/outputs):
     # "conv" = XLA strided conv; "s2d" = space-to-depth + dense stride-1
     # (measured slower at batch 8 — forward FLOP inflation); "psg" = plain

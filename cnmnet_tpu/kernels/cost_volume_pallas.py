@@ -14,9 +14,13 @@ a two-pass (Catmull-Smith) decomposition of the projective warp:
   pass H: out[i, j] = A[i, x(i, j)]     horizontal resample along lanes.
 
 Both passes are bilinear 1-D interpolations implemented as two shifted lane
-gathers per 128-wide window with clamp+mask (zero padding outside the
-frustum, matching the reference's grid_sample zeros mode,
-`depthNet_model.py:220`).
+gathers per 128-wide source window with clamp+mask (zero padding outside
+the frustum, matching the reference's grid_sample zeros mode,
+`depthNet_model.py:220`). Window iteration is DATA-BOUNDED: homography
+positions over an output block are smooth, so only the windows between the
+block's min and max tap index are visited (1-2 for MVS baselines) — the
+round-3 static all-windows loop made per-pixel cost scale with W/128 and
+was the banded 480x640 gap (RESULTS.md round-4 kernel section).
 
 Exactness: the decomposition evaluates the vertical coordinate at the
 column's inverse-mapped position rather than at the output pixel's exact x —
@@ -55,47 +59,97 @@ _HBAND = 128  # output rows per grid step (bounds every row-indexed buffer)
 _VMEM_BUDGET = 12 * 1024 * 1024  # whole-image fast path above this bands
 
 
-def _lane_gather(rows: jnp.ndarray, idx: jnp.ndarray, width: int) -> jnp.ndarray:
-    """out[s, l] = rows[s, idx[s, l]] for rows [S, width], width % 128 == 0.
-
-    One hardware gather per (source-window, output-block) pair + selects.
-    Caller guarantees idx in [0, width).
-    """
+def _gather_blocks(win: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """take_along_axis along lanes, blocked to the <= 128-wide windows the
+    hardware gather supports (wider gathers silently miscompile)."""
     S, L = idx.shape
-    out = jnp.zeros((S, L), rows.dtype)
-    for w in range(width // _LANE):
-        win = rows[:, w * _LANE : (w + 1) * _LANE]
-        local = idx - w * _LANE
-        in_win = (local >= 0) & (local < _LANE)
-        local_c = jnp.clip(local, 0, _LANE - 1)
-        if L == _LANE:
-            g = jnp.take_along_axis(win, local_c, axis=1)
-        else:
-            g = jnp.concatenate(
-                [
-                    jnp.take_along_axis(
-                        win, local_c[:, ob * _LANE : (ob + 1) * _LANE], axis=1
-                    )
-                    for ob in range(L // _LANE)
-                ],
-                axis=1,
-            )
-        out = out + jnp.where(in_win, g, jnp.zeros_like(g))
-    return out
+    if L == _LANE:
+        return jnp.take_along_axis(win, idx, axis=1)
+    return jnp.concatenate(
+        [
+            jnp.take_along_axis(win, idx[:, ob * _LANE : (ob + 1) * _LANE], axis=1)
+            for ob in range(L // _LANE)
+        ],
+        axis=1,
+    )
 
 
-def _interp1d(rows: jnp.ndarray, pos: jnp.ndarray, width: int, valid_hi: int):
-    """Linear interp of rows [S, width] at positions pos [S, L]; taps outside
-    [0, valid_hi - 1] contribute zero (zero padding)."""
+def _interp1d_mc(load_win, C: int, pos: jnp.ndarray, width: int, valid_hi: int):
+    """Shared-position multi-channel linear interp.
+
+    ``load_win(c, w) -> [S, 128]`` reads window ``w`` (source columns
+    [w*128, w*128 + 128)) of channel ``c``'s rows ``[S, width]``
+    (width % 128 == 0). ``pos [S, L]`` positions are shared by every
+    channel; taps outside [0, valid_hi - 1] contribute zero (the
+    grid_sample zeros mode). Returns a list of C ``[S, L]`` fp32 arrays.
+
+    The position arithmetic (floor, tap weights, per-window masks) is
+    computed ONCE and reused across channels — the channel loop adds only
+    the two gathers and a weighted accumulate. Compared to the round-3
+    channel-stacked formulation ([C*S, L] everything), this does 1/C the
+    position math and its live temporaries are [S, L], not [C*S, L] — the
+    footprint reduction that lets the banded 480x640 path run the full
+    128-row tile inside the ~16 MB scoped VMEM (VERDICT r3 weak #1).
+
+    The window loop is DATA-BOUNDED: homography positions over a 128-wide
+    output block are smooth, so only windows in
+    [min(i0c)//128, max(i1c)//128] can hold a tap — exact, because every
+    (clipped) tap index lies in that range and out-of-range windows would
+    contribute zero anyway. A static loop over all width/128 windows made
+    per-pixel cost scale with the image width (the measured 1.8x banded
+    per-pixel gap at W=640, VERDICT r3 weak #1); for MVS baselines a block
+    touches 1-2 windows regardless of W. ``load_win`` must therefore accept
+    a TRACED window index (dynamic 128-aligned lane-dim slices — probed
+    exact on the v5e, including take_along_axis inside the dynamic loop).
+    """
+    S, L = pos.shape
     p0 = jnp.floor(pos)
     f = pos - p0
     i0 = p0.astype(jnp.int32)
     i1 = i0 + 1
-    v0 = _lane_gather(rows, jnp.clip(i0, 0, width - 1), width)
-    v1 = _lane_gather(rows, jnp.clip(i1, 0, width - 1), width)
     w0 = jnp.where((i0 >= 0) & (i0 <= valid_hi - 1), 1.0 - f, 0.0)
     w1 = jnp.where((i1 >= 0) & (i1 <= valid_hi - 1), f, 0.0)
-    return v0 * w0 + v1 * w1
+    i0c = jnp.clip(i0, 0, width - 1)
+    i1c = jnp.clip(i1, 0, width - 1)
+
+    def window_body(w, outs):
+        l0 = i0c - w * _LANE
+        in0 = (l0 >= 0) & (l0 < _LANE)
+        l0c = jnp.clip(l0, 0, _LANE - 1)
+        l1 = i1c - w * _LANE
+        in1 = (l1 >= 0) & (l1 < _LANE)
+        l1c = jnp.clip(l1, 0, _LANE - 1)
+        new = []
+        for c in range(C):
+            win = load_win(c, w)
+            g0 = jnp.where(in0, _gather_blocks(win, l0c), 0.0)
+            g1 = jnp.where(in1, _gather_blocks(win, l1c), 0.0)
+            new.append(outs[c] + g0 * w0 + g1 * w1)
+        return tuple(new)
+
+    outs = tuple(jnp.zeros((S, L), jnp.float32) for _ in range(C))
+    n_windows = width // _LANE
+    if n_windows <= 2:
+        # small widths: the static unroll pipelines better than a dynamic
+        # scalar loop (measured 0.49 -> 0.65 ms/pair at 192x256 when the
+        # 2-window case ran the dynamic form)
+        for w in range(n_windows):
+            outs = window_body(w, outs)
+    else:
+        w_lo = jnp.min(i0c) // _LANE
+        w_hi = jnp.max(i1c) // _LANE
+        outs = jax.lax.fori_loop(w_lo, w_hi + 1, window_body, outs)
+    return list(outs)
+
+
+_SCOPED_VMEM = 16 * 1024 * 1024  # Mosaic scoped-VMEM compile limit
+# Live [HT, WC]-shaped fp32/int32 temporaries in one pass-H interp chunk
+# (position math + per-window masks + gather results + accumulators) — the
+# knob that converts "VMEM left after the fixed blocks" into a pass-H
+# column-chunk width. Calibrated from the hardware compile probe at banded
+# 480x640/tile-128 (measured 17.13 MB total with fixed blocks ~10.5 MB ->
+# ~20.3 live arrays), plus margin.
+_TEMP_ARRAYS = 24
 
 
 def _tile(extent: int, cap: int = 128) -> int:
@@ -109,22 +163,58 @@ def _tile(extent: int, cap: int = 128) -> int:
     stays 128; only the sublane count grows, which Mosaic vectorizes
     freely). Measured on the v5e (tools/bench_cv.py): 0.80 (tile 8) ->
     0.54 (32) -> 0.50 (64) -> 0.48 ms/pair (128) at batch; B=1 noisy but
-    >= as fast. The banded (large-resolution) path caps at 64: tile-128
-    gather temporaries at W=640 push the Mosaic stack past the 16 MB
-    scoped-VMEM limit (measured OOM at 480x640; 64 fits with room).
-    CNMNET_CV_TILE_MAX lowers the cap further (bench A/B only).
-    """
-    import os
+    >= as fast.
 
-    cap = min(cap, int(os.environ.get("CNMNET_CV_TILE_MAX", "128")))
+    The caller caps the pass-H tile by ESTIMATED temporaries (ADVICE r3:
+    a function of the gather width and the fixed blocks, not of
+    banded-vs-unbanded): pass-H interp temporaries are ~_TEMP_ARRAYS
+    [HT, W] arrays, so HT shrinks when W is large and the fixed blocks
+    already crowd the 16 MB scoped VMEM. Pass-V temporaries are
+    [VT, band-height] — never the binding constraint.
+    """
     for t in (128, 64, 32, 16, 8):
         if t <= cap and extent % t == 0:
             return t
     return 8
 
 
+def _fixed_vmem(W: int, Hp: int, C: int, PC: int, out_dtype, HB: int, RB: int) -> int:
+    """Fixed VMEM blocks: src_t (grid-invariant index map -> single
+    buffer), the pipelined ref/out blocks (double-buffered), and the two
+    run_scoped transpose scratches."""
+    return (
+        4 * C * W * Hp
+        + 2 * 4 * C * RB * W
+        + 2 * jnp.dtype(out_dtype).itemsize * PC * RB * W
+        + 2 * 4 * C * HB * W
+    )
+
+
+def _wc_chunk(W: int, HT: int, fixed: int) -> int:
+    """Pass-H output-column chunk width from estimated VMEM (ADVICE r3:
+    key the cap on the actual working set, not banded-vs-unbanded — an
+    unbanded W=640 small-H shape hits the same wall).
+
+    The interp temporaries are ~_TEMP_ARRAYS live [HT, WC] arrays, so
+    instead of shrinking the row tile when W is large (the round-3 cap
+    that cost the banded path 1.8x per pixel), shrink the column chunk:
+    compute per (chunk, window) is unchanged — only loop orchestration
+    grows. WC must be a lane-multiple divisor of W so chunks tile W
+    exactly."""
+    avail = max(_SCOPED_VMEM - fixed, 0)
+    cap = avail // (_TEMP_ARRAYS * 4 * max(HT, 1))
+    best = _LANE
+    wc = _LANE
+    while wc <= W:
+        if W % wc == 0 and wc <= cap:
+            best = wc
+        wc += _LANE
+    return best
+
+
 def _make_kernel(
-    H8: int, W: int, Hp: int, C: int, PC: int, out_dtype, HB: int, RB: int
+    H8: int, W: int, Hp: int, C: int, PC: int, out_dtype, HB: int, RB: int,
+    tile_max: int = 128,
 ):
     """Band-tiled kernel: grid step (b, pc, hb) computes PC planes of the
     HB output rows [hb*HB, hb*HB + HB). Only the full source image
@@ -140,10 +230,11 @@ def _make_kernel(
     ~1.5x at the flagship shape: doubled grid steps and padded rows).
     """
     eps = 1e-8
-    tile_cap = 64 if HB != Hp else 128  # banded: see _tile's VMEM note
-    VT = _tile(W, tile_cap)  # pass-V source-column tile
-    HT = _tile(RB, tile_cap)  # pass-H output-row tile
+    VT = _tile(W, tile_max)  # pass-V source-column tile ([VT, HB] temps)
+    HT = _tile(RB, tile_max)  # pass-H output-row tile
+    WC = _wc_chunk(W, HT, _fixed_vmem(W, Hp, C, PC, out_dtype, HB, RB))
     row_blocks = RB // HT  # ref/out row tiles per band
+    col_chunks = W // WC  # pass-H output-column chunks per row tile
 
     def kernel(coef_ref, ref_img_ref, src_t_ref, out_ref):
         (
@@ -183,17 +274,16 @@ def _make_kernel(
                     den_y = jnp.where(jnp.abs(den_y) < eps, eps, den_y)
                     Y = (r10 * jj + r11 * i_l + ay) / den_y
                     Y = jnp.clip(Y, -2.0, jnp.float32(Hp))
-                    # channel-stacked gather: one [C*VT, Hp] interp instead
-                    # of C separate ones — same elements, 3x fewer gather/
-                    # select sequences (the positions are channel-invariant)
-                    cols = src_t_ref[0, :, pl.ds(ub * VT, VT), :]  # [C, VT, Hp]
-                    stacked = _interp1d(
-                        cols.reshape(C * VT, Hp),
-                        jnp.concatenate([Y] * C, axis=0),
-                        Hp,
-                        H8,
+                    # shared-position gather: Y is channel-invariant, so the
+                    # position math runs once and only the gathers repeat
+                    chans = _interp1d_mc(
+                        lambda c, w: src_t_ref[
+                            0, c, pl.ds(ub * VT, VT), pl.ds(w * _LANE, _LANE)
+                        ],
+                        C, Y, Hp, H8,
                     )
-                    a_t[:, pl.ds(ub * VT, VT), :] = stacked.reshape(C, VT, HB)
+                    for c in range(C):
+                        a_t[c, pl.ds(ub * VT, VT), :] = chans[c]
                     return _
 
                 jax.lax.fori_loop(0, W // VT, col_block, 0)
@@ -203,31 +293,43 @@ def _make_kernel(
                     a[c, :, :] = a_t[c, :, :].T
 
                 # ---- pass H + cost over the band's valid rows ----------
-                i_s = jax.lax.broadcasted_iota(jnp.int32, (HT, W), 0).astype(jnp.float32)
-                j_l = jax.lax.broadcasted_iota(jnp.int32, (HT, W), 1).astype(jnp.float32)
+                # column-chunked: temporaries are [HT, WC], so the full
+                # 128-row tile fits scoped VMEM at any W (the chunk loop
+                # re-runs the window masks per chunk — same total elements,
+                # only more loop orchestration)
+                i_s = jax.lax.broadcasted_iota(jnp.int32, (HT, WC), 0).astype(jnp.float32)
+                j_s = jax.lax.broadcasted_iota(jnp.int32, (HT, WC), 1).astype(jnp.float32)
 
-                def row_block(ib, _):
+                def row_block(rb_ix, _):
+                    ib = rb_ix // col_chunks if col_chunks > 1 else rb_ix
+                    jb = rb_ix % col_chunks if col_chunks > 1 else 0
                     off = row0 + ib * HT if banded else ib * HT
-                    i = i_s + off.astype(jnp.float32)
+                    i = i_s + jnp.asarray(off, jnp.float32)
+                    j_l = j_s + jnp.asarray(jb * WC, jnp.float32)
                     numx = r00 * j_l + r01 * i + ax
                     den = r20 * j_l + r21 * i + az
                     behind = den <= eps
                     den = jnp.where(jnp.abs(den) < eps, eps, den)
                     x = jnp.clip(numx / den, -2.0, jnp.float32(W))
-                    # channel-stacked horizontal interp (as in pass V)
-                    rows = a[:, pl.ds(ib * HT, HT), :]  # [C, HT, W]
-                    vals = _interp1d(
-                        rows.reshape(C * HT, W),
-                        jnp.concatenate([x] * C, axis=0),
-                        W,
-                        W,
-                    ).reshape(C, HT, W)
-                    vals = jnp.where(behind[None], 0.0, vals)
-                    cost = jnp.sum(
-                        jnp.abs(vals - ref_img_ref[0, :, pl.ds(ib * HT, HT), :]),
-                        axis=0,
+                    # shared-position horizontal interp (as in pass V)
+                    chans = _interp1d_mc(
+                        lambda c, w: a[
+                            c, pl.ds(ib * HT, HT), pl.ds(w * _LANE, _LANE)
+                        ],
+                        C, x, W, W,
                     )
-                    out_ref[0, k, pl.ds(ib * HT, HT), :] = cost.astype(out_dtype)
+                    cost = jnp.zeros((HT, WC), jnp.float32)
+                    for c in range(C):
+                        vals = jnp.where(behind, 0.0, chans[c])
+                        cost = cost + jnp.abs(
+                            vals
+                            - ref_img_ref[
+                                0, c, pl.ds(ib * HT, HT), pl.ds(jb * WC, WC)
+                            ]
+                        )
+                    out_ref[
+                        0, k, pl.ds(ib * HT, HT), pl.ds(jb * WC, WC)
+                    ] = cost.astype(out_dtype)
                     return _
 
                 # Static bound: single-band (HB == Hp) stops exactly at
@@ -236,7 +338,7 @@ def _make_kernel(
                 # NaN/inf can escape into the valid region). A dynamic
                 # bound measured markedly slower (scalar while-loop per
                 # plane per band).
-                jax.lax.fori_loop(0, row_blocks, row_block, 0)
+                jax.lax.fori_loop(0, row_blocks * col_chunks, row_block, 0)
                 return _
 
             jax.lax.fori_loop(0, PC, plane_body, 0)
@@ -279,10 +381,6 @@ def _round_up(x, m):
     return (x + m - 1) // m * m
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("idepth_scale", "num_planes", "out_dtype", "vmem_budget"),
-)
 def cost_volume_pallas(
     ref_images: jnp.ndarray,
     src_images: jnp.ndarray,
@@ -292,6 +390,40 @@ def cost_volume_pallas(
     num_planes: int = 64,
     out_dtype=jnp.float32,
     vmem_budget: int | None = None,
+    tile_max: int | None = None,
+) -> jnp.ndarray:
+    """Public entry — resolves the CNMNET_CV_TILE_MAX bench knob at CALL
+    time and threads it as a static jit arg, so changing the env var
+    between same-shape calls in one process retraces instead of silently
+    reusing the previous tile (ADVICE r3). Callers inside an outer jit
+    still bind the value at their own trace time."""
+    import os
+
+    if tile_max is None:
+        tile_max = int(os.environ.get("CNMNET_CV_TILE_MAX", "128"))
+    return _cost_volume_pallas_jit(
+        ref_images, src_images, ref_cam, src_cam,
+        idepth_scale=idepth_scale, num_planes=num_planes,
+        out_dtype=out_dtype, vmem_budget=vmem_budget, tile_max=tile_max,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "idepth_scale", "num_planes", "out_dtype", "vmem_budget", "tile_max"
+    ),
+)
+def _cost_volume_pallas_jit(
+    ref_images: jnp.ndarray,
+    src_images: jnp.ndarray,
+    ref_cam: Camera,
+    src_cam: Camera,
+    idepth_scale: float = 3.0,
+    num_planes: int = 64,
+    out_dtype=jnp.float32,
+    vmem_budget: int | None = None,
+    tile_max: int = 128,
 ) -> jnp.ndarray:
     """Batched plane-sweep cost volume, NHWC -> [B, H, W, P] (``out_dtype``).
 
@@ -346,7 +478,7 @@ def cost_volume_pallas(
     src_t = jnp.transpose(src_images, (0, 3, 2, 1)).astype(jnp.float32)
 
     out_dtype = jnp.dtype(out_dtype)
-    kernel = _make_kernel(H8, W, Hp, C, _PCHUNK, out_dtype, HB, RB)
+    kernel = _make_kernel(H8, W, Hp, C, _PCHUNK, out_dtype, HB, RB, tile_max)
     if bands == 1:  # fast path: 2-D grid, no band axis at all
         grid = (B, num_planes // _PCHUNK)
         coef_ix = lambda b, pc: (b, 0, 0)

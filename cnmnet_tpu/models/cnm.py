@@ -52,7 +52,8 @@ class CNMModel(nn.Module):
     # grid_sample convention (u*(S-1)/S) for imported-checkpoint parity
     use_refiner: bool = True  # False: DepthNet-only (the reference's staged
     # pretraining; its published checkpoint is a disparity-only DepthNet)
-    remat: bool = False  # checkpoint the DepthNet encoder (for large batches)
+    remat: Any = 0  # DepthNet encoder stages to rematerialize (see
+    # DepthNet.remat): 0/False = none, 1-5 = from the input side, True = 5
     stride2: str = "conv"  # stride-2 conv impl: conv | s2d | psg (same
     # params; backward-pass trades measured in tools/bwd_probe.py)
 

@@ -38,7 +38,12 @@ class DepthNet(nn.Module):
     idepth_scale: float = 3.0
     norm: str = "batch"
     dtype: Any = jnp.float32
-    remat: bool = False  # rematerialize encoder blocks (memory for FLOPs)
+    remat: Any = 0  # encoder stages to rematerialize in backward, counted
+    # from the input side where activations are largest: 0/False = none,
+    # 1-5 = that many, True = all 5. Selective values trade most of the
+    # activation memory for a fraction of the re-FLOPs (stage 0 holds the
+    # full-res 67-ch input + half-res 128-ch features; stages 3-4 are
+    # 1/16-res and cheap to store).
     stride2: str = "conv"  # stride-2 conv impl: conv | s2d | psg (layers.py)
 
     @nn.compact
@@ -60,15 +65,17 @@ class DepthNet(nn.Module):
 
         # explicit names: nn.remat changes the auto-naming prefix, which
         # would silently re-key (and re-init) the params when toggled.
-        Down = (
-            nn.remat(DownConvBlock, static_argnums=(2,)) if self.remat
-            else DownConvBlock
-        )
-        conv1 = Down(128, 7, **dkw, name="DownConvBlock_0")(x, train)  # 1/2
-        conv2 = Down(256, 5, **dkw, name="DownConvBlock_1")(conv1, train)  # 1/4
-        conv3 = Down(512, 3, **dkw, name="DownConvBlock_2")(conv2, train)  # 1/8
-        conv4 = Down(512, 3, **dkw, name="DownConvBlock_3")(conv3, train)  # 1/16
-        conv5 = Down(512, 3, **dkw, name="DownConvBlock_4")(conv4, train)  # 1/32
+        n_remat = 5 if self.remat is True else int(self.remat)
+        RematDown = nn.remat(DownConvBlock, static_argnums=(2,))
+
+        def Down(i):
+            return RematDown if i < n_remat else DownConvBlock
+
+        conv1 = Down(0)(128, 7, **dkw, name="DownConvBlock_0")(x, train)  # 1/2
+        conv2 = Down(1)(256, 5, **dkw, name="DownConvBlock_1")(conv1, train)  # 1/4
+        conv3 = Down(2)(512, 3, **dkw, name="DownConvBlock_2")(conv2, train)  # 1/8
+        conv4 = Down(3)(512, 3, **dkw, name="DownConvBlock_3")(conv3, train)  # 1/16
+        conv5 = Down(4)(512, 3, **dkw, name="DownConvBlock_4")(conv4, train)  # 1/32
 
         upconv5 = UpConvBlock(512, 3, **kw)(conv5, train)  # 1/16
         iconv5 = ConvNormAct(512, 3, **kw)(

@@ -86,7 +86,11 @@ def build_model(cfg: Config) -> CNMModel:
         cv_backend=cfg.model.cv_backend,
         sampling=cfg.model.sampling,
         use_refiner=cfg.model.use_refiner,
-        remat=cfg.model.remat,
+        remat=(
+            (5 if cfg.model.remat_stages < 0 else cfg.model.remat_stages)
+            if cfg.model.remat
+            else 0
+        ),
         stride2=cfg.model.stride2,
     )
 

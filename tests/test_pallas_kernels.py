@@ -90,18 +90,64 @@ class TestCostVolumePallas:
         np.testing.assert_allclose(got, fast, rtol=0, atol=1e-6)
 
     def test_tile_cap_contract(self, monkeypatch):
-        """Sublane-tile selection: widest divisor <= cap. The banded path
-        passes cap=64 (tile-128 gather temporaries at W=640 measured OOM
-        past the 16 MB scoped-VMEM limit on the v5e — RESULTS.md), the
-        unbanded path 128; CNMNET_CV_TILE_MAX only lowers."""
-        from cnmnet_tpu.kernels.cost_volume_pallas import _tile
+        """Sublane-tile selection: widest divisor <= cap (pure function —
+        the VMEM-derived cap comes from _ht_cap, the env knob resolves in
+        the public wrapper at call time, ADVICE r3)."""
+        import jax.numpy as jnp
 
-        assert _tile(256) == 128          # unbanded default cap
-        assert _tile(256, 64) == 64       # banded structural cap
+        from cnmnet_tpu.kernels.cost_volume_pallas import (
+            _fixed_vmem,
+            _tile,
+            _wc_chunk,
+        )
+
+        assert _tile(256) == 128
+        assert _tile(256, 64) == 64
         assert _tile(192) == 64           # 128 does not divide 192
         assert _tile(40) == 8             # fallback floor
-        monkeypatch.setenv("CNMNET_CV_TILE_MAX", "16")
-        assert _tile(256) == 16           # env lowers below both caps
+
+        # the pass-H column chunk keys on the working set, not banded-ness:
+        # flagship unbanded 192x256 f32 -> full-width chunks
+        fixed = _fixed_vmem(256, 256, 3, 8, jnp.float32, 256, 192)
+        assert _wc_chunk(256, 128, fixed) == 256
+        # banded 480x640: fixed blocks crowd VMEM -> chunk shrinks to a
+        # lane-multiple divisor of W (so the row tile STAYS 128)
+        fixed_b = _fixed_vmem(640, 512, 3, 8, jnp.bfloat16, 128, 128)
+        assert _wc_chunk(640, 128, fixed_b) == 128
+        # estimated totals stay under the scoped limit at both shapes
+        from cnmnet_tpu.kernels.cost_volume_pallas import (
+            _SCOPED_VMEM,
+            _TEMP_ARRAYS,
+        )
+        for W, f in ((256, fixed), (640, fixed_b)):
+            wc = _wc_chunk(W, 128, f)
+            assert f + _TEMP_ARRAYS * 4 * 128 * wc <= _SCOPED_VMEM
+
+    def test_tile_max_env_resolved_at_call_time(self, rng, monkeypatch):
+        """CNMNET_CV_TILE_MAX must take effect between same-shape calls in
+        one process (it keys the jit cache via a static arg, ADVICE r3) —
+        and must not change the numerics."""
+        ref = jnp.asarray(rng.standard_normal((1, H, W, 3)), jnp.float32)
+        src = jnp.asarray(rng.standard_normal((1, H, W, 3)), jnp.float32)
+        c1, c2 = cams(make_E(t=(0.08, 0.02, 0.0)))
+        from cnmnet_tpu.kernels import cost_volume_pallas as cvp
+
+        seen = []
+        orig = cvp._make_kernel
+
+        def spy(*args, **kwargs):
+            seen.append(kwargs.get("tile_max", args[8] if len(args) > 8 else 128))
+            return orig(*args, **kwargs)
+
+        monkeypatch.setattr(cvp, "_make_kernel", spy)
+        with pltpu.force_tpu_interpret_mode():
+            a = np.asarray(cost_volume_pallas(ref, src, c1, c2, 3.0, 8))
+            monkeypatch.setenv("CNMNET_CV_TILE_MAX", "16")
+            b = np.asarray(cost_volume_pallas(ref, src, c1, c2, 3.0, 8))
+        # the env change must force a retrace carrying the new knob (the
+        # first call may be served from an earlier test's jit cache)
+        assert seen and seen[-1] == 16, seen
+        np.testing.assert_allclose(a, b, rtol=0, atol=1e-6)
 
     def test_bf16_output(self, rng):
         """out_dtype=bfloat16 rounds only the writeback: values equal the

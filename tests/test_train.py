@@ -74,6 +74,30 @@ class TestTrainStep:
         # normal terms absent from the wo_normal recipe
         assert "loss_normal_depth" not in m0
 
+    def test_selective_remat_exact(self, tiny_batch):
+        """remat is a memory/FLOPs trade, never a numerics one: full remat
+        (5 stages) and selective remat (2 high-res stages) must produce the
+        same loss and grads as no remat from the same init, and the param
+        tree must not re-key (the nn.remat auto-naming hazard)."""
+        results = []
+        keysets = []
+        for remat, stages in ((False, -1), (True, -1), (True, 2)):
+            cfg = Config()
+            cfg.model.num_planes = 8
+            cfg.model.k_size = 5
+            cfg.model.remat = remat
+            cfg.model.remat_stages = stages
+            state = create_train_state(cfg, jax.random.PRNGKey(0), tiny_batch)
+            keysets.append(jax.tree_util.tree_structure(state.params))
+            step = make_train_step(cfg)
+            _, m = step(state, tiny_batch)
+            results.append((float(m["loss"]), float(m["grad_norm"])))
+        assert keysets[0] == keysets[1] == keysets[2]
+        base = results[0]
+        for r in results[1:]:
+            assert r[0] == pytest.approx(base[0], rel=1e-6)
+            assert r[1] == pytest.approx(base[1], rel=1e-5)
+
     def test_batch_stats_update(self, tiny_cfg, tiny_batch):
         state = create_train_state(tiny_cfg, jax.random.PRNGKey(0), tiny_batch)
         step = make_train_step(tiny_cfg)

@@ -41,6 +41,12 @@ from __graft_entry__ import _tiny_batch
 VARIANTS = {
     "base": [],
     "remat": ["model.remat=true"],
+    # selective remat (round-4): checkpoint only the N high-resolution
+    # encoder stages — most of the activation memory, a fraction of the
+    # re-FLOPs (model.remat_stages)
+    "remat1": ["model.remat=true", "model.remat_stages=1"],
+    "remat2": ["model.remat=true", "model.remat_stages=2"],
+    "remat3": ["model.remat=true", "model.remat_stages=3"],
     "no_normals": ["train.use_normal_loss=false"],
     "k5": ["model.k_size=5"],
     "f32": ["model.compute_dtype=float32"],
@@ -68,6 +74,8 @@ def slope_ms(step, state, batch, ks=(4, 16, 48)):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--height", type=int, default=192)
+    ap.add_argument("--width", type=int, default=256)
     ap.add_argument("--variants", default=",".join(VARIANTS))
     args = ap.parse_args()
 
@@ -79,7 +87,7 @@ def main():
             "model.compute_dtype=bfloat16",
         ] + VARIANTS[name.strip()]
         cfg = apply_overrides(Config(), overrides)
-        batch = _tiny_batch(args.batch, height=192, width=256)
+        batch = _tiny_batch(args.batch, height=args.height, width=args.width)
         batch = {k: jax.device_put(jax.numpy.asarray(v)) for k, v in batch.items()}
         state = create_train_state(cfg, jax.random.PRNGKey(0), batch)
         step = make_train_step(cfg)
