@@ -139,6 +139,20 @@ def cmd_train(args) -> int:
             num_processes=cfg.parallel.num_processes,
             process_id=cfg.parallel.process_id,
         )
+        # Multi-process orbax saves coordinate through the primary's
+        # metadata writes: every process MUST point at the same (shared)
+        # checkpoint directory, or the save-finalize barrier deadlocks ~10
+        # minutes into the first checkpoint. Fail loudly at startup instead.
+        from jax.experimental import multihost_utils
+
+        multihost_utils.assert_equal(
+            jax.numpy.frombuffer(
+                cfg.train.checkpoint_dir.encode().ljust(256, b"\0")[:256],
+                dtype=jax.numpy.uint8,
+            ),
+            "train.checkpoint_dir must be one shared path across processes "
+            "(orbax multi-process checkpointing contract)",
+        )
 
     # The data axis cannot exceed what the global batch divides into; shrink
     # (with a visible note) rather than erroring on small smoke runs.
