@@ -159,6 +159,15 @@ def _log_images(logger, step: int, batch, viz):
     from cnmnet_tpu.data.pipeline import denormalize_images
     from cnmnet_tpu.obs.colorize import colorize_idepth, colorize_prob, normal_to_color
 
+    def _host(a):
+        # multi-process runs hand back GLOBAL arrays whose remote shards
+        # cannot be fetched; log this host's shard (sample 0 of the local
+        # batch, and host-local histogram statistics)
+        if getattr(a, "is_fully_addressable", True):
+            return a
+        return np.asarray(a.addressable_shards[0].data)
+
+    viz = {k: (_host(v) if v is not None else None) for k, v in viz.items()}
     try:
         rgb = denormalize_images(np.asarray(batch["images"][0, 0]))
         logger.log_image(step, "rgb", np.clip(rgb, 0, 1))
