@@ -62,6 +62,8 @@ class ModelConfig:
     # five (the round-3 behavior); 1-5 = selective (e.g. 2 checkpoints only
     # the two high-resolution stages — most of the memory for a fraction of
     # the re-FLOPs). Ignored when remat=False.
+    remat_refiner: bool = False  # also rematerialize the RefineNet (its
+    # native-res activations bound the large-batch 480x640 train step)
     stride2: str = "conv"  # stride-2 conv impl (identical params/outputs):
     # "conv" = XLA strided conv; "s2d" = space-to-depth + dense stride-1
     # (measured slower at batch 8 — forward FLOP inflation); "psg" = plain

@@ -54,6 +54,8 @@ class CNMModel(nn.Module):
     # pretraining; its published checkpoint is a disparity-only DepthNet)
     remat: Any = 0  # DepthNet encoder stages to rematerialize (see
     # DepthNet.remat): 0/False = none, 1-5 = from the input side, True = 5
+    remat_refiner: bool = False  # rematerialize the RefineNet too (its
+    # native-res activations are what OOM the batch-4 480x640 step)
     stride2: str = "conv"  # stride-2 conv impl: conv | s2d | psg (same
     # params; backward-pass trades measured in tools/bwd_probe.py)
 
@@ -64,7 +66,7 @@ class CNMModel(nn.Module):
         )
         self.refine_net = DepthRefineNet(
             idepth_scale=self.idepth_scale, norm=self.norm, dtype=self.dtype,
-            stride2=self.stride2,
+            stride2=self.stride2, remat=self.remat_refiner,
         )
 
     def __call__(

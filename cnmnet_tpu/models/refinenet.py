@@ -50,6 +50,9 @@ class DepthRefineNet(nn.Module):
     norm: str = "batch"
     dtype: Any = jnp.float32
     stride2: str = "conv"  # stride-2 conv impl: conv | s2d | psg (layers.py)
+    remat: bool = False  # rematerialize encoder blocks + decoder branches
+    # in backward (memory for re-FLOPs; exactness pinned in test_train.py —
+    # explicit names below keep the param tree independent of the flag)
 
     @nn.compact
     def __call__(
@@ -72,14 +75,22 @@ class DepthRefineNet(nn.Module):
 
         kw = dict(norm=self.norm, dtype=self.dtype)
         dkw = dict(stride2=self.stride2, **kw)
-        conv1 = DownConvBlock(128, 3, **dkw)(x, train)
-        conv2 = DownConvBlock(256, 3, **dkw)(conv1, train)
-        conv3 = DownConvBlock(512, 3, **dkw)(conv2, train)
+        Down = (
+            nn.remat(DownConvBlock, static_argnums=(2,))
+            if self.remat else DownConvBlock
+        )
+        Branch = (
+            nn.remat(_DecoderBranch, static_argnums=(4,))
+            if self.remat else _DecoderBranch
+        )
+        conv1 = Down(128, 3, **dkw, name="DownConvBlock_0")(x, train)
+        conv2 = Down(256, 3, **dkw, name="DownConvBlock_1")(conv1, train)
+        conv3 = Down(512, 3, **dkw, name="DownConvBlock_2")(conv2, train)
 
-        disp_refined, iconv1_depth = _DecoderBranch(
+        disp_refined, iconv1_depth = Branch(
             self.norm, self.dtype, self.idepth_scale, name="depth_branch"
         )(conv1, conv2, conv3, train)
-        prob_map, _ = _DecoderBranch(
+        prob_map, _ = Branch(
             self.norm, self.dtype, 1.0, name="prob_branch"
         )(conv1, conv2, conv3, train)
 

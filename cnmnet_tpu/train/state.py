@@ -91,6 +91,7 @@ def build_model(cfg: Config) -> CNMModel:
             if cfg.model.remat
             else 0
         ),
+        remat_refiner=cfg.model.remat_refiner,
         stride2=cfg.model.stride2,
     )
 

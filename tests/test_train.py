@@ -81,12 +81,18 @@ class TestTrainStep:
         tree must not re-key (the nn.remat auto-naming hazard)."""
         results = []
         keysets = []
-        for remat, stages in ((False, -1), (True, -1), (True, 2)):
+        for remat, stages, refiner in (
+            (False, -1, False),
+            (True, -1, False),
+            (True, 2, False),
+            (True, 2, True),
+        ):
             cfg = Config()
             cfg.model.num_planes = 8
             cfg.model.k_size = 5
             cfg.model.remat = remat
             cfg.model.remat_stages = stages
+            cfg.model.remat_refiner = refiner
             state = create_train_state(cfg, jax.random.PRNGKey(0), tiny_batch)
             keysets.append(jax.tree_util.tree_structure(state.params))
             step = make_train_step(cfg)

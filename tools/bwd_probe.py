@@ -47,6 +47,11 @@ VARIANTS = {
     "remat1": ["model.remat=true", "model.remat_stages=1"],
     "remat2": ["model.remat=true", "model.remat_stages=2"],
     "remat3": ["model.remat=true", "model.remat_stages=3"],
+    # + RefineNet remat: the native-res batch-4 OOM is a refiner fusion temp
+    "rematr": [
+        "model.remat=true", "model.remat_stages=2", "model.remat_refiner=true"
+    ],
+    "rematfr": ["model.remat=true", "model.remat_refiner=true"],
     "no_normals": ["train.use_normal_loss=false"],
     "k5": ["model.k_size=5"],
     "f32": ["model.compute_dtype=float32"],
