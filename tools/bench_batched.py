@@ -24,6 +24,8 @@ def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--batches", default="1,4,8")
     p.add_argument("--iters", type=int, default=30)
+    p.add_argument("--height", type=int, default=192)
+    p.add_argument("--width", type=int, default=256)
     args = p.parse_args(argv)
 
     from cnmnet_tpu.cache import enable_compilation_cache
@@ -43,7 +45,7 @@ def main(argv=None):
 
     variables = None
     for bs in [int(b) for b in args.batches.split(",")]:
-        batch = _tiny_batch(bs, height=192, width=256)
+        batch = _tiny_batch(bs, height=args.height, width=args.width)
         images = jnp.asarray(batch["images"])
         cams = jnp.asarray(batch["cams"])
         if variables is None:
