@@ -109,6 +109,40 @@ def test_cli_two_process_train_smoke(tmp_path):
     assert "done: step 2" in outputs[0], outputs[0][-1500:]
 
 
+def test_cli_rejects_per_process_checkpoint_dirs(tmp_path):
+    """Per-process checkpoint dirs deadlock the orbax save-finalize barrier
+    (discovered as a 10-minute hang); the CLI must reject the
+    misconfiguration loudly at startup, long before the first save."""
+    port = _free_port()
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["JAX_PLATFORM_NAME"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    env.pop("PYTHONPATH", None)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    procs = [
+        subprocess.Popen(
+            [
+                sys.executable, "-m", "cnmnet_tpu.cli", "train",
+                "--synthetic", "--max-steps", "1",
+                f"parallel.coordinator_address=127.0.0.1:{port}",
+                "parallel.num_processes=2", f"parallel.process_id={pid}",
+                "dataset.batch_size=4", "dataset.synthetic_size=8",
+                "dataset.image_height=32", "dataset.image_width=64",
+                "model.num_planes=8", "model.k_size=5",
+                f"train.log_dir={tmp_path}/logs{pid}",
+                f"train.checkpoint_dir={tmp_path}/ck{pid}",  # MISMATCHED
+            ],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            env=env, cwd=repo,
+        )
+        for pid in range(2)
+    ]
+    outputs = [p.communicate(timeout=300)[0] for p in procs]
+    assert any(p.returncode != 0 for p in procs)
+    assert any("checkpoint_dir" in text for text in outputs), outputs[0][-1500:]
+
+
 def test_two_process_step_matches_single_process_and_checkpoint_roundtrip(
     tmp_path,
 ):
