@@ -83,14 +83,14 @@ def make_forward(model, variables, k_size=9):
     return forward
 
 
-def phase_forward(batch_size):
+def phase_forward(batch_size, height=192, width=256):
     from cnmnet_tpu.models import CNMModel
     from cnmnet_tpu.obs.timing import forward_slope_seconds
     from __graft_entry__ import _tiny_batch
 
     platform = jax.devices()[0].platform
     dtype = jnp.bfloat16 if platform != "cpu" else jnp.float32
-    batch = _tiny_batch(batch_size, height=192, width=256)
+    batch = _tiny_batch(batch_size, height=height, width=width)
     images, cams = jnp.asarray(batch["images"]), jnp.asarray(batch["cams"])
     model = CNMModel(num_planes=64, dtype=dtype)
     variables = model.init(jax.random.PRNGKey(0), images, cams, train=False)
@@ -102,7 +102,7 @@ def phase_forward(batch_size):
     return flops, bytes_, secs, batch_size
 
 
-def phase_train(batch_size):
+def phase_train(batch_size, height=192, width=256, extra=()):
     from cnmnet_tpu.config import Config, apply_overrides
     from cnmnet_tpu.train.loop import make_train_step
     from cnmnet_tpu.train.state import create_train_state
@@ -114,9 +114,10 @@ def phase_train(batch_size):
             f"dataset.batch_size={batch_size}",
             "model.num_planes=64",
             "model.compute_dtype=bfloat16",
+            *extra,
         ],
     )
-    batch = _tiny_batch(batch_size, height=192, width=256)
+    batch = _tiny_batch(batch_size, height=height, width=width)
     batch = {k: jax.device_put(jnp.asarray(v)) for k, v in batch.items()}
     state = create_train_state(cfg, jax.random.PRNGKey(0), batch)
     step = make_train_step(cfg)
@@ -165,6 +166,19 @@ def main():
         "train2": ("train step b=2", lambda: phase_train(2)),
         "train8": ("train step b=8", lambda: phase_train(8)),
         "cv": ("cost-volume kernel", phase_cost_volume),
+        # native 480x640 (7-Scenes sensor resolution) phases
+        "fwd1n": ("fwd b=1 @480x640", lambda: phase_forward(1, 480, 640)),
+        "fwd8n": ("fwd b=8 @480x640", lambda: phase_forward(8, 480, 640)),
+        "train4n": (
+            "train b=4 @480x640",
+            lambda: phase_train(
+                4, 480, 640,
+                extra=(
+                    "model.remat=true", "model.remat_stages=2",
+                    "model.remat_refiner=true",
+                ),
+            ),
+        ),
     }
     print(f"platform: {jax.devices()[0].platform}")
     print(
