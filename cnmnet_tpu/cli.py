@@ -142,12 +142,15 @@ def cmd_train(args) -> int:
         # Multi-process orbax saves coordinate through the primary's
         # metadata writes: every process MUST point at the same (shared)
         # checkpoint directory, or the save-finalize barrier deadlocks ~10
-        # minutes into the first checkpoint. Fail loudly at startup instead.
+        # minutes into the first checkpoint. Fail loudly at startup instead
+        # (compare a fixed-size digest: no truncation at any path length).
+        import hashlib
+
         from jax.experimental import multihost_utils
 
         multihost_utils.assert_equal(
             jax.numpy.frombuffer(
-                cfg.train.checkpoint_dir.encode().ljust(256, b"\0")[:256],
+                hashlib.sha256(cfg.train.checkpoint_dir.encode()).digest(),
                 dtype=jax.numpy.uint8,
             ),
             "train.checkpoint_dir must be one shared path across processes "

@@ -31,7 +31,6 @@ from typing import Dict, List, Optional
 import numpy as np
 
 from cnmnet_tpu.data.seven_scenes import SevenScenes
-from cnmnet_tpu.ops import metrics as M
 
 EVAL_PROTOCOLS = {
     # num_sources: source offsets in reference order plus the reference's

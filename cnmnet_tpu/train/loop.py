@@ -161,11 +161,23 @@ def _log_images(logger, step: int, batch, viz):
 
     def _host(a):
         # multi-process runs hand back GLOBAL arrays whose remote shards
-        # cannot be fetched; log this host's shard (sample 0 of the local
-        # batch, and host-local histogram statistics)
+        # cannot be fetched; assemble the batch samples this host FULLY
+        # holds (under data x tile sharding a shard is only a spatial
+        # fragment, so shards must be stitched by their global index)
         if getattr(a, "is_fully_addressable", True):
             return a
-        return np.asarray(a.addressable_shards[0].data)
+        buf = seen = None
+        for s in a.addressable_shards:
+            d = np.asarray(s.data)
+            if buf is None:
+                buf = np.zeros(a.shape, d.dtype)
+                seen = np.zeros(a.shape, bool)
+            buf[s.index] = d
+            seen[s.index] = True
+        full = [i for i in range(a.shape[0]) if seen[i].all()]
+        if not full:  # tile axis spans hosts: fall back to the fragment
+            return np.asarray(a.addressable_shards[0].data)
+        return buf[full]
 
     viz = {k: (_host(v) if v is not None else None) for k, v in viz.items()}
     try:

@@ -77,6 +77,22 @@ def make_optimizer(cfg: Config) -> optax.GradientTransformation:
     return optax.chain(*txs)
 
 
+def _remat_stages(cfg: Config) -> int:
+    """Resolve model.remat/remat_stages to an encoder stage count, rejecting
+    silently-inert combinations (remat=true with stages outside -1|1..5)."""
+    if not cfg.model.remat:
+        return 0
+    n = cfg.model.remat_stages
+    if n == -1:
+        return 5
+    if not 1 <= n <= 5:
+        raise ValueError(
+            f"model.remat_stages={n} with model.remat=true: expected -1 "
+            "(all five encoder stages) or 1-5 (that many from the input side)"
+        )
+    return n
+
+
 def build_model(cfg: Config) -> CNMModel:
     return CNMModel(
         idepth_scale=cfg.model.idepth_scale,
@@ -86,11 +102,7 @@ def build_model(cfg: Config) -> CNMModel:
         cv_backend=cfg.model.cv_backend,
         sampling=cfg.model.sampling,
         use_refiner=cfg.model.use_refiner,
-        remat=(
-            (5 if cfg.model.remat_stages < 0 else cfg.model.remat_stages)
-            if cfg.model.remat
-            else 0
-        ),
+        remat=_remat_stages(cfg),
         remat_refiner=cfg.model.remat_refiner,
         stride2=cfg.model.stride2,
     )

@@ -13,10 +13,11 @@ shard-aware claim): mode "save" saves the post-step state through the
 orbax CheckpointManager from ALL processes, restores it into a
 differently-seeded template, asserts the restore is bit-identical to the
 live state, then runs a second step from the restored state; mode
-"restore" skips training from scratch and instead restores the checkpoint
-written by a previous (differently-process-counted) run before the second
-step. Both modes record the second step's loss + a host-side param
-fingerprint so the test can assert cross-world-size restore continuity.
+"restore" runs the same from-scratch first step (the test compares its
+loss across world sizes) but restores the checkpoint written by a
+previous (differently-process-counted) run before the second step. Both
+modes record the second step's loss + a host-side param fingerprint so
+the test can assert cross-world-size restore continuity.
 
 Usage: python _distributed_worker.py <port> <nprocs> <pid> <out_json>
            [ckpt_dir save|restore]

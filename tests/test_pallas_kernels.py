@@ -91,8 +91,8 @@ class TestCostVolumePallas:
 
     def test_tile_cap_contract(self, monkeypatch):
         """Sublane-tile selection: widest divisor <= cap (pure function —
-        the VMEM-derived cap comes from _ht_cap, the env knob resolves in
-        the public wrapper at call time, ADVICE r3)."""
+        the VMEM-derived pass-H chunk comes from _wc_chunk, the env knob
+        resolves in the public wrapper at call time, ADVICE r3)."""
         import jax.numpy as jnp
 
         from cnmnet_tpu.kernels.cost_volume_pallas import (

@@ -104,6 +104,22 @@ class TestTrainStep:
             assert r[0] == pytest.approx(base[0], rel=1e-6)
             assert r[1] == pytest.approx(base[1], rel=1e-5)
 
+    def test_remat_stages_validation(self):
+        """remat=true with stages outside -1|1..5 would silently disable or
+        clamp remat — must raise instead."""
+        from cnmnet_tpu.train.state import build_model
+
+        for bad in (0, 6, -2):
+            cfg = Config()
+            cfg.model.remat = True
+            cfg.model.remat_stages = bad
+            with pytest.raises(ValueError, match="remat_stages"):
+                build_model(cfg)
+        cfg = Config()
+        cfg.model.remat = False
+        cfg.model.remat_stages = 0  # ignored when remat is off
+        assert build_model(cfg).remat == 0
+
     def test_batch_stats_update(self, tiny_cfg, tiny_batch):
         state = create_train_state(tiny_cfg, jax.random.PRNGKey(0), tiny_batch)
         step = make_train_step(tiny_cfg)
