@@ -34,6 +34,11 @@ def main(argv=None):
     p.add_argument("--height", type=int, default=192)
     p.add_argument("--width", type=int, default=256)
     p.add_argument("--print-every", type=int, default=500)
+    p.add_argument(
+        "--overrides", default="",
+        help="comma-separated extra config overrides, e.g. "
+        "'model.remat=true,model.remat_stages=2,model.remat_refiner=true'",
+    )
     args = p.parse_args(argv)
 
     from cnmnet_tpu.cache import enable_compilation_cache
@@ -61,7 +66,8 @@ def main(argv=None):
             "model.num_planes=64",
             f"solver.lr={args.lr}",
         ]
-        + (["model.compute_dtype=bfloat16"] if platform != "cpu" else []),
+        + (["model.compute_dtype=bfloat16"] if platform != "cpu" else [])
+        + [o for o in args.overrides.split(",") if o],
     )
 
     ds = SyntheticScenes(
