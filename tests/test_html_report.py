@@ -52,6 +52,27 @@ class TestWriteReport:
         assert "—" in txt
 
 
+class TestCLI:
+    def test_report_and_export_tb_commands(self, tmp_path):
+        """The documented `cli report` / `cli export-tb` entry points over
+        the same artifact layouts the module tests use."""
+        from cnmnet_tpu.cli import main
+        from cnmnet_tpu.obs.logger import MetricLogger
+
+        run = str(tmp_path / "run")
+        _mock_run(run)
+        assert main(["report", run]) == 0
+        assert os.path.exists(os.path.join(run, "index.html"))
+
+        log_dir = str(tmp_path / "logs")
+        log = MetricLogger(log_dir, config={}, echo=None)
+        log.log_scalars(1, {"loss": 2.0})
+        log.close()
+        assert main(["export-tb", log_dir]) == 0
+        tb = [f for f in os.listdir(log_dir) if "tfevents" in f]
+        assert tb, os.listdir(log_dir)
+
+
 class TestWriteComparison:
     def test_side_by_side(self, tmp_path):
         a, b = str(tmp_path / "runA"), str(tmp_path / "runB")
