@@ -308,6 +308,25 @@ class TestCalMetrics:
         assert "abs_rel" in out and "evaluation_errors.txt" in out
 
 
+class TestScanNetCLI:
+    def test_eval_scannet_synthetic_entry(self, capsys):
+        """The documented `cli eval-scannet --synthetic` entry point: full
+        model forward over procedural samples, printed metric lines."""
+        from cnmnet_tpu.cli import main
+
+        rc = main(
+            [
+                "eval-scannet", "--synthetic", "--max-samples", "2",
+                "dataset.synthetic_size=2",
+                "dataset.image_height=32", "dataset.image_width=64",
+                "model.num_planes=8", "model.k_size=5",
+            ]
+        )
+        assert rc == 0
+        out = capsys.readouterr().out
+        assert "abs_rel:" in out and "frames: 2" in out
+
+
 class TestScanNetPlaneEval:
     def test_oracle_depth_maxes_recalls(self):
         """Feeding GT depth as the prediction: induced planes coincide with
