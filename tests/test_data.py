@@ -178,6 +178,22 @@ class TestPrepTools:
         np.testing.assert_allclose(cam[0], np.linalg.inv(pose), atol=1e-5)
         assert cam[1, 0, 0] == pytest.approx(1170.0 * 256 / 1296, rel=1e-3)
 
+    def test_prep_cameras_cli_entry(self, tmp_path, capsys):
+        """`cli prep-cameras` over the same mock scene as the module test."""
+        from cnmnet_tpu.cli import main
+
+        scene = tmp_path / "scene0000_00"
+        (scene / "pose").mkdir(parents=True)
+        (scene / "intrinsic").mkdir()
+        K = np.asarray(
+            [[1170.0, 0, 648, 0], [0, 1170.0, 484, 0], [0, 0, 1, 0], [0, 0, 0, 1]]
+        )
+        np.savetxt(scene / "intrinsic" / "intrinsic_color.txt", K)
+        np.savetxt(scene / "pose" / "0.txt", np.eye(4))
+        assert main(["prep-cameras", "--scene-dir", str(scene)]) == 0
+        assert "wrote 1 camera files" in capsys.readouterr().out
+        assert (scene / "cameras" / "0_cam.txt").exists()
+
     def test_clean_plane_segmentation(self):
         from cnmnet_tpu.data.prep import clean_plane_segmentation
 
