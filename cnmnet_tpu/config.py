@@ -104,6 +104,13 @@ class TrainConfig:
     prob_weight: float = 20.0
     normal_weight: float = 0.8
     include_prob_map_loss: bool = False  # the reference logs it but excludes it
+    # microbatches per optimizer step (gradient accumulation): the jitted
+    # step folds the batch to [A, B/A, ...] and lax.scans the fwd+bwd,
+    # averaging gradients — one Adam update per step, activation memory of
+    # a B/A batch. Unlocks native-res effective batches past the HBM
+    # activation wall (RESULTS.md batch-8 @ 480x640). BN batch statistics
+    # are computed per microbatch (standard accumulation semantics).
+    grad_accum: int = 1
     log_dir: str = "logs"
     steps_per_epoch: Optional[int] = None  # cap (for smoke runs)
 

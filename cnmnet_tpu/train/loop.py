@@ -65,19 +65,44 @@ def _collective_compiler_options() -> Optional[dict]:
 
 
 def make_train_step(cfg: Config, mesh: Optional[Mesh] = None) -> Callable:
-    """Build the jitted (state, batch) -> (state, metrics) step."""
-    w = loss_weights_from_config(cfg)
+    """Build the jitted (state, batch) -> (state, metrics) step.
 
-    def step(state: CNMTrainState, batch: Dict[str, jnp.ndarray]):
+    With ``cfg.train.grad_accum = A > 1`` the step folds the batch to
+    ``[A, B/A, ...]`` and ``lax.scan``s the forward+backward over
+    microbatches, averaging gradients into ONE optimizer update — the
+    activation working set is that of a B/A batch, which is how native-res
+    effective batches ride past the HBM activation wall (RESULTS.md).
+    BN batch statistics update once per microbatch, chained through the
+    scan carry (standard accumulation semantics).
+    """
+    w = loss_weights_from_config(cfg)
+    accum = max(1, int(cfg.train.grad_accum))
+    tiled = mesh is not None and mesh.shape.get("tile", 1) > 1
+    # Which dim of each batch field is the image-row (H) axis; sharding
+    # it over "tile" makes GSPMD spatially partition the cost volume and
+    # conv stack (automatic halo exchange) — the SP analogue of
+    # SURVEY.md §5.
+    h_dims = {
+        "images": 2,       # [B, V, H, W, 3]
+        "depths": 2,       # [B, V, H, W]
+        "disparity": 1,    # [B, H, W]
+        "normals": 1,      # [B, H, W, 3]
+        "instance_segs": 2,  # [B, S, H, W]
+    }
+
+    def _microbatch_grads(state, batch_stats, mb):
+        """value_and_grad of the full loss on one microbatch, from the
+        given BN stats; returns ((loss, (metrics, stats', viz)), grads)."""
+
         def loss_fn(params):
             out, mutated = state.apply_fn(
-                {"params": params, "batch_stats": state.batch_stats},
-                prepare_images(batch["images"]),
-                batch["cams"],
+                {"params": params, "batch_stats": batch_stats},
+                prepare_images(mb["images"]),
+                mb["cams"],
                 train=True,
                 mutable=["batch_stats"],
             )
-            loss, metrics = compute_losses(out, batch, state.epoch, w)
+            loss, metrics = compute_losses(out, mb, state.epoch, w)
             # image-sized tensors for the periodic image/histogram
             # summaries (`train.py:357-396`); free — already computed.
             viz = {"pred_idepth_01": out.disps[0][:, 0]}
@@ -86,8 +111,9 @@ def make_train_step(cfg: Config, mesh: Optional[Mesh] = None) -> Callable:
                 viz["prob_map"] = out.prob_map
             return loss, (metrics, mutated["batch_stats"], viz)
 
-        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
-        (loss, (metrics, new_stats, viz)), grads = grad_fn(state.params)
+        return jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+
+    def _finish(state, grads, new_stats, metrics, viz):
         state = state.apply_gradients(grads=grads, batch_stats=new_stats)
         metrics["grad_norm"] = jnp.sqrt(
             sum(jnp.sum(jnp.square(g)) for g in jax.tree_util.tree_leaves(grads))
@@ -95,23 +121,62 @@ def make_train_step(cfg: Config, mesh: Optional[Mesh] = None) -> Callable:
         metrics["viz"] = viz
         return state, metrics
 
+    def step(state: CNMTrainState, batch: Dict[str, jnp.ndarray]):
+        (_, (metrics, new_stats, viz)), grads = _microbatch_grads(
+            state, state.batch_stats, batch
+        )
+        return _finish(state, grads, new_stats, metrics, viz)
+
+    def step_accum(state: CNMTrainState, batch: Dict[str, jnp.ndarray]):
+        def fold(k, v):
+            if v.shape[0] % accum:
+                raise ValueError(
+                    f"train.grad_accum={accum} requires the batch "
+                    f"divisible by it; {k!r} has leading dim {v.shape[0]}"
+                )
+            return v.reshape((accum, v.shape[0] // accum) + v.shape[1:])
+
+        mbs = {k: fold(k, v) for k, v in batch.items()}
+        if mesh is not None:
+            # after the fold, keep the data axis on the per-microbatch
+            # sample dim (and "tile" on the shifted H dim)
+            for k, v in mbs.items():
+                spec = [None, "data"] + [None] * (v.ndim - 2)
+                if tiled and k in h_dims:
+                    spec[h_dims[k] + 1] = "tile"
+                mbs[k] = jax.lax.with_sharding_constraint(
+                    v, NamedSharding(mesh, P(*spec))
+                )
+        first = {k: v[0] for k, v in mbs.items()}
+        rest = {k: v[1:] for k, v in mbs.items()}
+        # First microbatch outside the scan fixes the carry structure
+        # (metrics keys) and donates its viz to the summaries.
+        (_, (metrics, stats, viz)), grads = _microbatch_grads(
+            state, state.batch_stats, first
+        )
+
+        def body(carry, mb):
+            grads_acc, stats, metrics_acc = carry
+            (_, (m, stats, _viz)), g = _microbatch_grads(state, stats, mb)
+            grads_acc = jax.tree_util.tree_map(jnp.add, grads_acc, g)
+            metrics_acc = {k: metrics_acc[k] + m[k] for k in metrics_acc}
+            return (grads_acc, stats, metrics_acc), None
+
+        (grads, stats, metrics), _ = jax.lax.scan(
+            body, (grads, stats, metrics), rest
+        )
+        inv = 1.0 / accum
+        grads = jax.tree_util.tree_map(lambda g: g * inv, grads)
+        metrics = {k: v * inv for k, v in metrics.items()}
+        return _finish(state, grads, stats, metrics, viz)
+
+    step = step if accum == 1 else step_accum
+
     opts = _collective_compiler_options()
     if mesh is not None:
         repl = NamedSharding(mesh, P())
         jitted = jax.jit(step, donate_argnums=(0,), compiler_options=opts)
         first_call = [True]
-        tiled = mesh.shape.get("tile", 1) > 1
-        # Which dim of each batch field is the image-row (H) axis; sharding
-        # it over "tile" makes GSPMD spatially partition the cost volume and
-        # conv stack (automatic halo exchange) — the SP analogue of
-        # SURVEY.md §5.
-        h_dims = {
-            "images": 2,       # [B, V, H, W, 3]
-            "depths": 2,       # [B, V, H, W]
-            "disparity": 1,    # [B, H, W]
-            "normals": 1,      # [B, H, W, 3]
-            "instance_segs": 2,  # [B, S, H, W]
-        }
 
         multiprocess = jax.process_count() > 1
 

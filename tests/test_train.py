@@ -475,3 +475,100 @@ class TestWatchdog:
         # 3-strike: steps 3,4,5 are NaN, detected with one step of lag
         assert calls["n"] <= 8
         assert mgr.latest_step() is not None
+
+
+class TestGradAccum:
+    """train.grad_accum: microbatch-scanned gradient accumulation must be
+    EXACTLY the sequential reference (chained BN stats, averaged grads, one
+    Adam update) — the knob exists to ride past the native-res activation
+    wall (RESULTS.md 480x640 batch 8), so its semantics must be pinned."""
+
+    def test_accum_matches_sequential_reference(self, tiny_batch):
+        from cnmnet_tpu.ops.images import prepare_images
+        from cnmnet_tpu.train.losses import compute_losses
+        from cnmnet_tpu.train.loop import loss_weights_from_config
+
+        cfg = Config()
+        cfg.model.num_planes = 8
+        cfg.model.k_size = 5
+        cfg.dataset.batch_size = 2
+        cfg.train.grad_accum = 2
+
+        state = create_train_state(cfg, jax.random.PRNGKey(0), tiny_batch)
+        new_state, metrics = make_train_step(cfg)(state, tiny_batch)
+        assert np.isfinite(float(metrics["loss"]))
+        assert np.isfinite(float(metrics["grad_norm"]))
+
+        # hand-rolled reference: python loop over microbatches
+        w = loss_weights_from_config(cfg)
+        ref = create_train_state(cfg, jax.random.PRNGKey(0), tiny_batch)
+        stats = ref.batch_stats
+        grads_total = None
+        losses = []
+        for i in range(2):
+            mb = {k: v[i : i + 1] for k, v in tiny_batch.items()}
+
+            def loss_fn(params, stats=stats, mb=mb):
+                out, mutated = ref.apply_fn(
+                    {"params": params, "batch_stats": stats},
+                    prepare_images(mb["images"]),
+                    mb["cams"],
+                    train=True,
+                    mutable=["batch_stats"],
+                )
+                loss, _ = compute_losses(out, mb, ref.epoch, w)
+                return loss, mutated["batch_stats"]
+
+            (loss, stats), g = jax.value_and_grad(loss_fn, has_aux=True)(
+                ref.params
+            )
+            losses.append(float(loss))
+            grads_total = (
+                g
+                if grads_total is None
+                else jax.tree_util.tree_map(jnp.add, grads_total, g)
+            )
+        grads = jax.tree_util.tree_map(lambda x: x / 2.0, grads_total)
+        ref2 = ref.apply_gradients(grads=grads, batch_stats=stats)
+
+        assert float(metrics["loss"]) == pytest.approx(
+            np.mean(losses), rel=1e-5
+        )
+        ref_gnorm = float(
+            jnp.sqrt(
+                sum(
+                    jnp.sum(jnp.square(g))
+                    for g in jax.tree_util.tree_leaves(grads)
+                )
+            )
+        )
+        assert float(metrics["grad_norm"]) == pytest.approx(ref_gnorm, rel=1e-4)
+        # Param comparison masks elements whose gradient is ~0: Adam's
+        # first-step update there is +-lr * sign(g), so fp summation-order
+        # epsilons legitimately flip it — not an accumulation defect.
+        for a, b, g in zip(
+            jax.tree_util.tree_leaves(new_state.params),
+            jax.tree_util.tree_leaves(ref2.params),
+            jax.tree_util.tree_leaves(grads),
+        ):
+            g = np.asarray(g)
+            stable = np.abs(g) > 1e-6 * (np.abs(g).max() + 1e-30)
+            np.testing.assert_allclose(
+                np.asarray(a)[stable], np.asarray(b)[stable], rtol=2e-5, atol=1e-5
+            )
+        for a, b in zip(
+            jax.tree_util.tree_leaves(new_state.batch_stats),
+            jax.tree_util.tree_leaves(ref2.batch_stats),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-5
+            )
+
+    def test_accum_requires_divisible_batch(self, tiny_batch):
+        cfg = Config()
+        cfg.model.num_planes = 8
+        cfg.model.k_size = 5
+        cfg.train.grad_accum = 3
+        state = create_train_state(cfg, jax.random.PRNGKey(0), tiny_batch)
+        with pytest.raises(ValueError, match="grad_accum"):
+            make_train_step(cfg)(state, tiny_batch)
