@@ -39,6 +39,9 @@ def _parse(argv):
     e.add_argument("--max-frames-per-seq", type=int, default=None)
     e.add_argument("--frame-batch", type=int, default=1,
                    help="frames per batched forward (data-parallel inference)")
+    e.add_argument("--eval-tile", type=int, default=1,
+                   help="shard image ROWS over this many devices per frame "
+                        "(spatial partitioning for native-res eval)")
     e.add_argument("overrides", nargs="*")
 
     cm = sub.add_parser(
@@ -286,20 +289,39 @@ def cmd_eval(args) -> int:
         state = mgr.restore(args.checkpoint, state)
     variables = {"params": state.params, "batch_stats": state.batch_stats}
 
-    # Multi-chip data-parallel eval: shard the frame batch over a "data"
-    # mesh whenever more than one device can take an even share of it
-    # (the batched protocol loops, `eval.py:635-663`, scaled over chips).
-    import math
-
+    # Multi-chip eval: data-parallel over the frame batch, optionally
+    # spatially partitioned over "tile" (image rows) per frame — the
+    # batched protocol loops, `eval.py:635-663`, scaled over chips. Every
+    # device is used: the frame batch is rounded UP to a multiple of the
+    # data axis (the tail batch is already padded inside the eval loop, so
+    # the adjustment costs only the padding frames' compute).
     mesh = None
+    frame_batch = args.frame_batch
     n_dev = len(jax.devices())
-    if args.frame_batch > 1 and n_dev > 1:
-        data = math.gcd(args.frame_batch, n_dev)
-        if data > 1:
-            from cnmnet_tpu.parallel.mesh import make_mesh
+    tile = max(1, args.eval_tile)
+    if (frame_batch > 1 or tile > 1) and n_dev > 1:
+        from cnmnet_tpu.parallel.mesh import make_mesh
 
-            mesh = make_mesh(data=data, tile=1, devices=jax.devices()[:data])
-            print(f"eval mesh: data={data}")
+        if n_dev % tile:
+            print(f"eval-tile={tile} does not divide {n_dev} devices; "
+                  "running unsharded")
+            tile = 1
+        if tile > 1:
+            from cnmnet_tpu.parallel.sharding import tile_partition_safe
+
+            safe, reason = tile_partition_safe(cfg.dataset.image_height, tile)
+            if not safe:
+                print(f"eval-tile={tile} DISABLED (falling back to pure "
+                      f"data-parallel): {reason}")
+                tile = 1
+        data = n_dev // tile
+        if data > 1 and frame_batch % data:
+            frame_batch = ((frame_batch + data - 1) // data) * data
+            print(f"frame-batch rounded up {args.frame_batch} -> "
+                  f"{frame_batch} so all {data} data-axis devices are used")
+        if data * tile > 1:
+            mesh = make_mesh(data=data, tile=tile)
+            print(f"eval mesh: data={data} tile={tile}")
 
     forward = make_eval_forward(model, variables, k_size=cfg.model.k_size)
     result = evaluate_seven_scenes(
@@ -310,7 +332,7 @@ def cmd_eval(args) -> int:
         image_width=cfg.dataset.image_width,
         save_dir=args.save_dir,
         max_frames_per_seq=args.max_frames_per_seq,
-        frame_batch=args.frame_batch,
+        frame_batch=frame_batch,
         mesh=mesh,
         wire_dtype=cfg.dataset.wire_dtype,
     )

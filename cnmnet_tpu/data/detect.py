@@ -141,8 +141,9 @@ def resize_image(
     padding: bool = False,
 ) -> Tuple[np.ndarray, Tuple[int, int, int, int], float, List[Tuple[int, int]]]:
     """Scale so the short side reaches ``min_dim`` without the long side
-    exceeding ``max_dim``; optionally zero-pad to a ``max_dim`` square
-    (`utils.py:113-161` behavior). Returns
+    exceeding ``max_dim``; optionally zero-pad height to ``min_dim`` and
+    width to ``max_dim`` — the reference's molded-image shape for
+    non-square sensors, e.g. 480x640 (`utils.py:113-161`). Returns
     (image, window=(y1, x1, y2, x2) of the valid region, scale, pad_spec).
     """
     image = np.asarray(image)
@@ -158,10 +159,10 @@ def resize_image(
     window = (0, 0, image.shape[0], image.shape[1])
     pad: List[Tuple[int, int]] = [(0, 0)] * image.ndim
     if padding:
-        assert max_dim is not None
-        top = (max_dim - image.shape[0]) // 2
+        assert min_dim is not None and max_dim is not None
+        top = (min_dim - image.shape[0]) // 2
         left = (max_dim - image.shape[1]) // 2
-        pad[0] = (top, max_dim - image.shape[0] - top)
+        pad[0] = (top, min_dim - image.shape[0] - top)
         pad[1] = (left, max_dim - image.shape[1] - left)
         image = np.pad(image, pad, mode="constant")
         window = (top, left, top + round(h * scale), left + round(w * scale))
@@ -204,14 +205,22 @@ def minimize_depth(
     boxes: np.ndarray, depth: np.ndarray, mini_shape: Tuple[int, int]
 ) -> np.ndarray:
     """Per-instance box crops of a shared depth map, resized to
-    ``mini_shape`` (`utils.py:194-207`)."""
+    ``mini_shape`` with NEAREST-neighbor sampling (`utils.py:194-207`,
+    cv2.INTER_NEAREST there) — bilinear would average across depth
+    discontinuities at instance boundaries and synthesize depths that lie
+    on no real surface."""
     boxes = np.asarray(boxes)
     depth = np.asarray(depth, dtype=np.float64)
+    mh, mw = mini_shape
     out = np.zeros(mini_shape + (len(boxes),), dtype=np.float64)
     for i, (y1, x1, y2, x2) in enumerate(boxes.astype(np.int64)):
         if y2 <= y1 or x2 <= x1:
             continue
-        out[:, :, i] = _resize_bilinear(depth[y1:y2, x1:x2], *mini_shape)
+        crop = depth[y1:y2, x1:x2]
+        h, w = crop.shape
+        ys = np.minimum((np.arange(mh) * (h / mh)).astype(np.int64), h - 1)
+        xs = np.minimum((np.arange(mw) * (w / mw)).astype(np.int64), w - 1)
+        out[:, :, i] = crop[ys][:, xs]
     return out
 
 

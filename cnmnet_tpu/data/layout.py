@@ -345,8 +345,13 @@ def group_structures(
             continue
         params = sorted((planes[m] for m in members), key=lambda p: p[0])
         if len(members) == 3:
+            # Most-horizontal plane first. This module uses the standard
+            # camera frame (y down, z forward), so gravity lives on index 1
+            # — NOT index 2, which is the reference's axis-swapped
+            # [x, forward, up] frame (`data_prepare/utils.py:1016-1020`);
+            # abs(p[2]) here would pick the most fronto-parallel wall.
             horiz = np.argmax(
-                [abs(p[2]) / max(np.linalg.norm(p), 1e-4) for p in params]
+                [abs(p[1]) / max(np.linalg.norm(p), 1e-4) for p in params]
             )
             params = [params[horiz]] + params[:horiz] + params[horiz + 1 :]
         label = (len(members) - 2) * 2 + (1 if concave_flag == 0 else 2)

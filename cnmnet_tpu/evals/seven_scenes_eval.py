@@ -153,6 +153,19 @@ def evaluate_seven_scenes(
       dict of the nine aggregate metrics + timing (mean seconds/frame).
     """
     proto = EVAL_PROTOCOLS[num_sources]
+    if mesh is not None and mesh.shape.get("tile", 1) > 1:
+        from cnmnet_tpu.parallel.sharding import tile_partition_safe
+
+        safe, reason = tile_partition_safe(
+            image_height, mesh.shape["tile"]
+        )
+        if not safe:
+            import warnings
+
+            warnings.warn(
+                f"tile-sharded eval at this height risks GSPMD's silent "
+                f"halo miscompile: {reason}", stacklevel=2,
+            )
     ds = SevenScenes(root_dir, image_height, image_width, wire_dtype=wire_dtype)
     per_frame: List[Dict[str, float]] = []
     total_time, count = 0.0, 0
@@ -177,9 +190,14 @@ def evaluate_seven_scenes(
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
-            sh = NamedSharding(mesh, P("data"))
-            images = jax.device_put(images, sh)
-            cams = jax.device_put(cams, sh)
+            # images [B, V, h, w, 3]: frames over "data", rows over "tile"
+            # (spatial partitioning for native-res eval; GSPMD inserts the
+            # halo exchanges through the conv stack). cams replicate over
+            # "tile".
+            tiled = mesh.shape.get("tile", 1) > 1
+            img_spec = P("data", None, "tile") if tiled else P("data")
+            images = jax.device_put(images, NamedSharding(mesh, img_spec))
+            cams = jax.device_put(cams, NamedSharding(mesh, P("data")))
         t0 = time.monotonic()
         out = jax.block_until_ready(forward_fn(images, cams))
         total_time += time.monotonic() - t0

@@ -25,6 +25,50 @@ from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+# The CNM conv schedule as (extent divisor, kernel, stride) per windowed
+# stage whose input rows may ride the "tile" axis: DepthNet's five stride-2
+# double-convs (kernels 7/5/3/3/3 at 1/1..1/16 input extents), its stride-1
+# decoder at 1/32, and RefineNet's three stride-2 k=3 blocks with a 1/8
+# decoder. Used by `tile_partition_safe`.
+_CNM_TILE_STAGES = (
+    (1, 7, 2), (2, 5, 2), (4, 3, 2), (8, 3, 2), (16, 3, 2),  # DepthNet enc
+    (32, 3, 1),                                              # DepthNet dec
+    (1, 3, 2), (2, 3, 2), (4, 3, 2),                         # RefineNet enc
+    (8, 3, 1),                                               # RefineNet dec
+)
+
+
+def tile_partition_safe(height: int, tile: int) -> tuple:
+    """Is row-sharding this image height over ``tile`` devices SAFE?
+
+    XLA's GSPMD partitioner implements conv halo exchange with transfers to
+    ADJACENT shards only; when a windowed op's per-shard extent is small
+    relative to its kernel reach it SILENTLY produces wrong values (no
+    error, no fallback — measured round 5 on jax 0.9/XLA:CPU: stride-2 k=3
+    wrong at per-shard <= 2, exact at >= 4; stride-2 k=5 wrong at <= 4;
+    stride-1 k=3 wrong at 1; `tests/test_parallel.py` pins the repro).
+    This applies the measured-safe rule — per-shard extent >= 2(k-1) for
+    stride-2 stages and >= k-1 for stride-1 — across the CNM conv schedule.
+
+    Returns (safe: bool, reason: str).
+    """
+    if tile <= 1:
+        return True, ""
+    if height % tile:
+        return False, f"height {height} not divisible by tile {tile}"
+    for divisor, k, stride in _CNM_TILE_STAGES:
+        extent = height // divisor
+        need = 2 * (k - 1) if stride == 2 else (k - 1)
+        if extent // tile < need:
+            return False, (
+                f"per-shard extent {extent}//{tile}={extent // tile} at the "
+                f"1/{divisor}-res k={k} s={stride} conv is below the "
+                f"GSPMD-halo-safe minimum {need} (adjacent-shard-only halo "
+                f"exchange miscompiles silently; see parallel/sharding.py)"
+            )
+    return True, ""
+
+
 def shard_batch(mesh: Mesh, batch: Dict[str, jnp.ndarray]) -> Dict[str, NamedSharding]:
     """NamedShardings for a training batch: batch dim over "data".
 

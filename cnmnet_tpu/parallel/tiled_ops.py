@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from cnmnet_tpu.geometry.camera import pixel_grid
 from cnmnet_tpu.ops.normals import box_filter, solve_normal_equations

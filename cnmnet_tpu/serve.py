@@ -55,6 +55,7 @@ class InferenceSession:
         checkpoint: Optional[str] = None,
         batch_buckets: Sequence[int] = (1, 4, 8),
         k_size: Optional[int] = None,
+        mesh=None,
     ):
         import copy
 
@@ -72,6 +73,18 @@ class InferenceSession:
             # serving default on accelerators: bf16 compute (bench parity)
             self.cfg.model.compute_dtype = "bfloat16"
         self.buckets = tuple(sorted(set(int(b) for b in batch_buckets)))
+        # Multi-chip serving: a ("data"[, "tile"]) jax.sharding.Mesh shards
+        # each bucket batch over "data" (params replicated — the eval-mesh
+        # wiring, `cli.py cmd_eval`) and image rows over "tile" when
+        # present. Buckets are rounded UP to multiples of the data axis so
+        # every device takes an even share of every compiled program.
+        self.mesh = mesh
+        if mesh is not None:
+            data = int(mesh.shape.get("data", 1))
+            if data > 1:
+                self.buckets = tuple(sorted(
+                    {((b + data - 1) // data) * data for b in self.buckets}
+                ))
         self.k_size = k_size or self.cfg.model.k_size
         self._forwards: Dict[tuple, object] = {}
         self._variables = None
@@ -113,6 +126,35 @@ class InferenceSession:
             "params": state.params,
             "batch_stats": state.batch_stats,
         }
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            self._variables = jax.device_put(
+                self._variables, NamedSharding(self.mesh, P())
+            )
+
+    def _place(self, images, cams):
+        """Device placement for one bucket batch: shard frames over "data"
+        (and rows over "tile") when serving on a mesh."""
+        import jax
+        import jax.numpy as jnp
+
+        if self.mesh is None:
+            return jnp.asarray(images), jnp.asarray(cams)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        tile = int(self.mesh.shape.get("tile", 1))
+        if tile > 1:
+            from cnmnet_tpu.parallel.sharding import tile_partition_safe
+
+            safe, reason = tile_partition_safe(images.shape[2], tile)
+            if not safe:
+                raise ValueError(f"unsafe tile axis for serving: {reason}")
+        img_spec = P("data", None, "tile") if tile > 1 else P("data")
+        return (
+            jax.device_put(images, NamedSharding(self.mesh, img_spec)),
+            jax.device_put(cams, NamedSharding(self.mesh, P("data"))),
+        )
 
     def _forward_for(self, key: tuple):
         fn = self._forwards.get(key)
@@ -170,7 +212,7 @@ class InferenceSession:
                     if outs[0][k] is not None
                 }
             fn = self._forward_for((bucket, V, H, W))
-            idepth, depth, prob, normal = fn(jnp.asarray(images), jnp.asarray(cams))
+            idepth, depth, prob, normal = fn(*self._place(images, cams))
         out = {
             "idepth": np.asarray(idepth)[:B].astype(np.float32),
             "depth": np.asarray(depth)[:B].astype(np.float32),
@@ -193,7 +235,7 @@ class InferenceSession:
             images = np.concatenate([images] + reps, axis=0)
             cams = np.concatenate([cams] + [cams[-1:]] * (bucket - B), axis=0)
         fn = self._forward_for((bucket, V, H, W))
-        idepth, depth, prob, normal = fn(jnp.asarray(images), jnp.asarray(cams))
+        idepth, depth, prob, normal = fn(*self._place(images, cams))
         out = {
             "idepth": np.asarray(idepth)[:B].astype(np.float32),
             "depth": np.asarray(depth)[:B].astype(np.float32),

@@ -78,6 +78,23 @@ def make_train_step(cfg: Config, mesh: Optional[Mesh] = None) -> Callable:
     w = loss_weights_from_config(cfg)
     accum = max(1, int(cfg.train.grad_accum))
     tiled = mesh is not None and mesh.shape.get("tile", 1) > 1
+    if tiled:
+        from cnmnet_tpu.parallel.sharding import tile_partition_safe
+
+        safe, reason = tile_partition_safe(
+            cfg.dataset.image_height, mesh.shape["tile"]
+        )
+        if not safe:
+            import warnings
+
+            warnings.warn(
+                "spatial 'tile' sharding at this image height is in GSPMD's "
+                "silent-miscompile zone — gradients may be numerically "
+                f"wrong: {reason}. Use a larger height or a smaller tile "
+                "axis for real training; compile/shape validation (e.g. "
+                "the dryrun) is unaffected.",
+                stacklevel=2,
+            )
     # Which dim of each batch field is the image-row (H) axis; sharding
     # it over "tile" makes GSPMD spatially partition the cost volume and
     # conv stack (automatic halo exchange) — the SP analogue of

@@ -93,16 +93,18 @@ def test_resize_image_and_mask_molding():
     out, window, scale, pad = detect.resize_image(
         img, min_dim=40, max_dim=64, padding=True
     )
-    assert out.shape[:2] == (64, 64)
+    # reference pads height to min_dim, width to max_dim -> 40x64 molded
+    # image (NOT a max_dim square), e.g. 480x640 for ScanNet sensors
+    assert out.shape[:2] == (40, 64)
     assert scale == pytest.approx(2.0)
     y1, x1, y2, x2 = window
     assert (y2 - y1, x2 - x1) == (40, 60)
-    assert np.all(out[: window[0]] == 0)
+    assert np.all(out[:, : window[1]] == 0)
 
     mask = np.zeros((20, 30, 1), dtype=np.uint8)
     mask[5:10, 5:15, 0] = 1
     rm = detect.resize_mask(mask, scale, pad)
-    assert rm.shape == (64, 64, 1)
+    assert rm.shape == (40, 64, 1)
     assert rm.sum() == pytest.approx(mask.sum() * 4, rel=0.15)
 
 

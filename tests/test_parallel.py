@@ -37,7 +37,7 @@ class TestHaloExchange:
         halo = 2
         x = jnp.asarray(rng.standard_normal((1, H, W, C)), jnp.float32)
 
-        from jax.experimental.shard_map import shard_map
+        from jax import shard_map
 
         fn = shard_map(
             lambda xs: halo_exchange_rows(xs, halo, "tile"),
@@ -113,6 +113,58 @@ class TestTiledCostVolume:
             ref, src, KRKiUV, KT, idepth_hypotheses(3.0, 8), mesh
         )
         np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+class TestGspmdHaloMiscompile:
+    """Pins an XLA GSPMD correctness bug (jax 0.9): conv halo exchange only
+    reaches ADJACENT shards, so a spatially-sharded windowed op whose
+    per-shard extent is below the kernel reach SILENTLY computes wrong
+    values — no error, no fallback. `parallel/sharding.tile_partition_safe`
+    guards every tile-sharding entry point (cli eval, serve, train step)
+    against the measured-unsafe zone. If `test_bug_still_present` ever
+    FAILS, the XLA bug was fixed upstream — relax the guard thresholds."""
+
+    def _stride2_diff(self, H, k):
+        from jax import lax
+        from jax.sharding import NamedSharding
+
+        mesh = make_mesh(data=2, tile=2, devices=jax.devices()[:4])
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.standard_normal((2, H, 2 * H, 8)), jnp.float32)
+        w = jnp.asarray(rng.standard_normal((k, k, 8, 8)) * 0.1, jnp.float32)
+        p = (k - 1) // 2
+
+        def conv(t):
+            dn = lax.conv_dimension_numbers(
+                t.shape, w.shape, ("NHWC", "HWIO", "NHWC")
+            )
+            return lax.conv_general_dilated(
+                t, w, (2, 2), [(p, p), (p, p)], dimension_numbers=dn
+            )
+
+        a = np.asarray(jax.jit(conv)(x))
+        xs = jax.device_put(x, NamedSharding(mesh, P("data", "tile")))
+        b = np.asarray(jax.jit(conv)(xs))
+        return float(np.abs(a - b).max())
+
+    def test_bug_still_present(self):
+        # per-shard extent 2 < 2*(k-1)=4 for a stride-2 k=3 conv: wrong
+        assert self._stride2_diff(H=4, k=3) > 0.1
+
+    def test_safe_zone_is_exact(self):
+        # per-shard extent 4 >= 2*(k-1): bit-exact
+        assert self._stride2_diff(H=8, k=3) == 0.0
+
+    def test_tile_partition_safe_classification(self):
+        from cnmnet_tpu.parallel.sharding import tile_partition_safe
+
+        assert tile_partition_safe(480, 2) == (True, "")   # native-res train
+        assert tile_partition_safe(128, 2)[0]              # smallest safe x2
+        assert not tile_partition_safe(64, 2)[0]           # deep convs unsafe
+        assert not tile_partition_safe(32, 2)[0]           # the test shapes
+        assert not tile_partition_safe(481, 2)[0]          # indivisible
+        safe, reason = tile_partition_safe(32, 2)
+        assert "GSPMD" in reason or "per-shard" in reason
 
 
 class TestShardedBatchNorm:
