@@ -164,23 +164,39 @@ def make_train_step(cfg: Config, mesh: Optional[Mesh] = None) -> Callable:
                 mbs[k] = jax.lax.with_sharding_constraint(
                     v, NamedSharding(mesh, P(*spec))
                 )
-        first = {k: v[0] for k, v in mbs.items()}
-        rest = {k: v[1:] for k, v in mbs.items()}
-        # First microbatch outside the scan fixes the carry structure
-        # (metrics keys) and donates its viz to the summaries.
-        (_, (metrics, stats, viz)), grads = _microbatch_grads(
-            state, state.batch_stats, first
+        # ALL microbatches run inside the scan. An earlier version peeled
+        # the first microbatch outside the loop (to fix the carry
+        # structure), which DOUBLED peak HBM: XLA allocates the peeled
+        # backward's temps separately from the loop body's, and at native
+        # 480x640 micro-batch 4 that pushed 19.4 G against the 15.75 G
+        # chip (measured round 5) while the plain batch-4 step fits. The
+        # carry structure comes from `jax.eval_shape` (trace-only, free)
+        # and the summaries' viz is selected from microbatch 0 in-loop.
+        mb0 = {k: v[0] for k, v in mbs.items()}
+        (_, (m_s, _, viz_s)), g_s = jax.eval_shape(
+            _microbatch_grads, state, state.batch_stats, mb0
         )
 
-        def body(carry, mb):
-            grads_acc, stats, metrics_acc = carry
-            (_, (m, stats, _viz)), g = _microbatch_grads(state, stats, mb)
+        def zeros_of(tree):
+            return jax.tree_util.tree_map(
+                lambda x: jnp.zeros(x.shape, x.dtype), tree
+            )
+
+        carry0 = (zeros_of(g_s), state.batch_stats, zeros_of(m_s), zeros_of(viz_s))
+
+        def body(carry, x):
+            i, mb = x
+            grads_acc, stats, metrics_acc, viz_acc = carry
+            (_, (m, stats, viz)), g = _microbatch_grads(state, stats, mb)
             grads_acc = jax.tree_util.tree_map(jnp.add, grads_acc, g)
             metrics_acc = {k: metrics_acc[k] + m[k] for k in metrics_acc}
-            return (grads_acc, stats, metrics_acc), None
+            viz_acc = jax.tree_util.tree_map(
+                lambda old, new: jnp.where(i == 0, new, old), viz_acc, viz
+            )
+            return (grads_acc, stats, metrics_acc, viz_acc), None
 
-        (grads, stats, metrics), _ = jax.lax.scan(
-            body, (grads, stats, metrics), rest
+        (grads, stats, metrics, viz), _ = jax.lax.scan(
+            body, carry0, (jnp.arange(accum), mbs)
         )
         inv = 1.0 / accum
         grads = jax.tree_util.tree_map(lambda g: g * inv, grads)

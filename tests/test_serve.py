@@ -103,6 +103,70 @@ class TestMixedViewCounts:
         assert cfg.model.compute_dtype == before
 
 
+class TestOutputWire:
+    """The packed output wire (round 5): predict fetches ONE [B, H, W, C]
+    array of only the SELECTED outputs in the session's wire dtype —
+    measured fetch-bound through this host's tunnel (docs/SERVING.md)."""
+
+    def test_output_selection_matches_full(self, session, frames):
+        images, cams = frames
+        full = session.predict(images[:1], cams[:1])
+        sel = InferenceSession(
+            _cfg(), batch_buckets=(1,), outputs=("depth", "prob")
+        )
+        out = sel.predict(images[:1], cams[:1])
+        assert set(out) == {"depth", "prob"}
+        np.testing.assert_allclose(out["depth"], full["depth"], atol=1e-5)
+        np.testing.assert_allclose(out["prob"], full["prob"], atol=1e-5)
+
+    def test_f16_wire_quantization_bounded(self, session, frames):
+        images, cams = frames
+        full = session.predict(images[:1], cams[:1])
+        f16 = InferenceSession(_cfg(), batch_buckets=(1,), wire_dtype="float16")
+        out = f16.predict(images[:1], cams[:1])
+        assert out["depth"].dtype == np.float32  # contract: f32 results
+        assert np.isfinite(out["depth"]).all()  # saturates, never inf
+        # f16 wire: ~2^-11 relative quantization plus saturation at the
+        # f16 max (the untrained net's raw 1/idepth can exceed 65504)
+        f16_max = float(np.finfo(np.float16).max)
+        np.testing.assert_allclose(
+            out["depth"], np.minimum(full["depth"], f16_max),
+            rtol=2e-3, atol=1e-3,
+        )
+        np.testing.assert_allclose(
+            out["normal"], full["normal"], rtol=2e-3, atol=2e-3
+        )
+
+    def test_prob_selection_on_two_view_path(self, frames):
+        # "prob" selected but the 2-view path has no occlusion head: the
+        # key must simply be absent, not crash
+        images, cams = frames
+        sel = InferenceSession(
+            _cfg(), batch_buckets=(1,), outputs=("idepth", "prob")
+        )
+        out = sel.predict(images[:1, :2], cams[:1, :2])
+        assert set(out) == {"idepth"}
+
+    def test_rejects_unknown_output_and_dtype(self):
+        with pytest.raises(ValueError, match="unknown outputs"):
+            InferenceSession(_cfg(), outputs=("depth", "confidence"))
+        with pytest.raises(ValueError, match="wire_dtype"):
+            InferenceSession(_cfg(), wire_dtype="int8")
+
+    def test_predict_async_fetch_matches_predict(self, session, frames):
+        # the double-buffering primitive: dispatch now, transfer later —
+        # must be value-identical to the blocking path
+        images, cams = frames
+        want = session.predict(images[:2], cams[:2])
+        handle = session.predict_async(images[:2], cams[:2])
+        out = session.fetch(handle)
+        assert set(out) == set(want)
+        for k in want:
+            np.testing.assert_array_equal(out[k], want[k])
+        with pytest.raises(ValueError, match="top bucket"):
+            session.predict_async(images[:6], cams[:6])  # 6 > top bucket 4
+
+
 class TestMicroBatcher:
     def test_coalesces_and_preserves_order(self, session, frames):
         images, cams = frames

@@ -49,6 +49,10 @@ def main():
     ap.add_argument("--requests", type=int, default=200)
     ap.add_argument("--max-wait-ms", type=float, default=3.0)
     ap.add_argument("--buckets", default="1,4,8")
+    ap.add_argument("--outputs", default="idepth,depth,prob,normal",
+                    help="comma list: which outputs ride the wire")
+    ap.add_argument("--wire-dtype", default="float32",
+                    choices=["float32", "float16", "bfloat16"])
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
 
@@ -61,7 +65,13 @@ def main():
     cfg.dataset.image_height = args.height
     cfg.dataset.image_width = args.width
     buckets = tuple(int(b) for b in args.buckets.split(","))
-    session = InferenceSession(cfg, batch_buckets=buckets)
+    session = InferenceSession(
+        cfg,
+        batch_buckets=buckets,
+        outputs=tuple(args.outputs.split(",")),
+        wire_dtype=args.wire_dtype,
+    )
+    print(f"outputs={session.outputs} wire={session.wire_dtype}", flush=True)
 
     # request pool: one base frame + per-request uint8 noise (distinct
     # dispatches, identical compiled signature)
@@ -96,9 +106,9 @@ def main():
         def __getattr__(self, name):
             return getattr(self._inner, name)
 
-        def predict(self, images, cams):
+        def predict_async(self, images, cams):
             self.sizes.append(images.shape[0])
-            return self._inner.predict(images, cams)
+            return self._inner.predict_async(images, cams)
 
     rows = []
     for load in (float(x) for x in args.loads.split(",")):
