@@ -2,14 +2,18 @@
 
 The reference has no serving story (its `eval.py` loops one frame at a
 time); this module is the deployment counterpart the brief's "production
-serving" goal asks for, built around two TPU facts measured in RESULTS.md:
+serving" goal asks for, built around three TPU facts measured in RESULTS.md:
 
 * batch-1 latency is dispatch-bound (~7.5 ms/frame) while the device is
   compute-bound from batch 4 up (~5.4 ms/frame, 187 frames/s at batch 16)
   — so online serving wants *micro-batching*;
 * every distinct (batch, views, H, W) signature is a separate XLA program
   (15-20 min cold compiles on this machine) — so batch sizes must be
-  bucketed to a small fixed set and padded, never compiled per request.
+  bucketed to a small fixed set and padded, never compiled per request;
+* on transfer-constrained links the device->host result fetch, not the
+  forward, bounds throughput (measured 7x the compute here) — so outputs
+  ride ONE packed array of only the selected maps (optionally f16) and
+  the batcher double-buffers dispatch against fetch (docs/SERVING.md).
 
 `InferenceSession` owns the model + checkpoint and the jitted forwards
 (one per bucket, compiled lazily, persistent-cached); `MicroBatcher` is a
