@@ -180,6 +180,45 @@ class TestMicroBatcher:
             want = session.predict(images[i : i + 1], cams[i : i + 1])
             np.testing.assert_allclose(r["idepth"], want["idepth"][0], atol=1e-4)
 
+    def test_double_buffered_loop_under_concurrent_submitters(
+        self, session, frames
+    ):
+        """The round-5 double-buffered loop (dispatch N+1 before fetching
+        N) must keep every future mapped to ITS request under racing
+        submitters — 20 requests from 4 threads, identity checked via the
+        per-request input images."""
+        import threading
+
+        images, cams = frames
+        mb = MicroBatcher(session, max_batch=4, max_wait_ms=10)
+        results = {}
+        lock = threading.Lock()
+
+        def client(ids):
+            for i in ids:
+                out = mb.submit(images[i % 6], cams[i % 6]).result(timeout=300)
+                with lock:
+                    results[i] = out
+        try:
+            threads = [
+                threading.Thread(target=client, args=(range(t, 20, 4),))
+                for t in range(4)
+            ]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join(timeout=300)
+        finally:
+            mb.close()
+        assert len(results) == 20
+        want = [
+            session.predict(images[j : j + 1], cams[j : j + 1]) for j in range(6)
+        ]
+        for i, out in results.items():
+            np.testing.assert_allclose(
+                out["idepth"], want[i % 6]["idepth"][0], atol=1e-4
+            )
+
     def test_error_propagates_without_killing_batcher(self, session, frames):
         images, cams = frames
         mb = MicroBatcher(session, max_batch=2, max_wait_ms=5)
